@@ -1,0 +1,322 @@
+"""Configuration tree for sskd_tpu.
+
+One Pydantic config tree consumed by both the CLI and the service (the
+reference kept two parallel systems — argparse validators plus a
+pydantic-settings tree, reference: src/config.py:263-403 and
+scripts/_validate_args.py — this build unifies them).
+
+Precedence: env vars (``SEMANTIC_KD_*``, nested via ``__``) > YAML file
+(``SEMANTIC_KD_CONFIG_PATH`` or explicit ``from_yaml``) > defaults.
+Matches the reference's env scheme (reference: src/config.py:275-279).
+
+TPU additions over the reference: ``MeshConfig`` (device mesh axes and
+sizes) and ``PrecisionConfig`` (bf16 compute, int8 index rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from functools import lru_cache
+from pathlib import Path
+from typing import Any, Literal
+
+import yaml
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+ENV_PREFIX = "SEMANTIC_KD_"
+NESTED_DELIMITER = "__"
+
+
+class StudentModelConfig(BaseModel):
+    """Bi-encoder student (reference: src/config.py:22-32)."""
+
+    model_name: str = "intfloat/e5-small-v2"
+    embedding_dim: int = Field(default=384, ge=1)
+    max_seq_length: int = Field(default=512, ge=1, le=8192)
+    normalize_embeddings: bool = True
+    query_prefix: str = "query: "
+    passage_prefix: str = "passage: "
+    pooling: Literal["mean", "cls"] = "mean"
+
+
+class TeacherModelConfig(BaseModel):
+    """Cross-encoder teacher (reference: src/config.py:35-45)."""
+
+    model_name: str = "BAAI/bge-reranker-large"
+    max_seq_length: int = Field(default=512, ge=1, le=8192)
+    batch_size: int = Field(default=32, ge=1)
+
+
+class LossConfig(BaseModel):
+    """KD loss mix (reference: src/config.py:48-73, configs/kd.yaml:51-69)."""
+
+    margin_mse_weight: float = Field(default=0.6, ge=0.0, le=1.0)
+    listwise_kd_weight: float = Field(default=0.2, ge=0.0, le=1.0)
+    contrastive_weight: float = Field(default=0.2, ge=0.0, le=1.0)
+    temperature_start: float = Field(default=4.0, gt=0.0)
+    temperature_end: float = Field(default=2.0, gt=0.0)
+    contrastive_tau: float = Field(default=0.05, gt=0.0)
+
+    @model_validator(mode="after")
+    def _weights_sum_to_one(self) -> "LossConfig":
+        total = (
+            self.margin_mse_weight + self.listwise_kd_weight + self.contrastive_weight
+        )
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(f"loss weights must sum to 1.0, got {total}")
+        return self
+
+
+class TrainingConfig(BaseModel):
+    """Trainer knobs — all of them are wired in (the reference declared
+    fp16/warmup/grad-accum/max_grad_norm but never used them,
+    reference: src/config.py:76-101 vs src/kd/train.py:94-304)."""
+
+    epochs: int = Field(default=3, ge=1)
+    batch_size: int = Field(default=32, ge=1)
+    learning_rate: float = Field(default=2e-5, gt=0.0)
+    weight_decay: float = Field(default=0.01, ge=0.0)
+    warmup_ratio: float = Field(default=0.1, ge=0.0, le=1.0)
+    max_grad_norm: float = Field(default=1.0, gt=0.0)
+    grad_accum_steps: int = Field(default=1, ge=1)
+    num_docs_per_query: int = Field(default=8, ge=2)
+    early_stopping_patience: int = Field(default=2, ge=0)
+    early_stopping_metric: str = "ndcg@10"
+    save_steps: int = Field(default=0, ge=0)
+    eval_steps: int = Field(default=0, ge=0)
+    seed: int = 42
+    output_dir: str = "artifacts/models/kd_student"
+    resume: bool = True
+
+
+class MiningConfig(BaseModel):
+    """3-stage curriculum knobs (reference: src/config.py:104-123,
+    configs/kd.yaml:71-100)."""
+
+    stage: int = Field(default=3, ge=1, le=3)
+    bm25_top_k: int = Field(default=100, ge=1)
+    teacher_top_k: int = Field(default=10, ge=1)
+    teacher_confidence_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
+    ance_top_k: int = Field(default=5, ge=1)
+    ance_margin: float = Field(default=0.1, ge=0.0)
+    ance_refresh_every_n_steps: int = Field(default=500, ge=1)
+    denoise_text_overlap_threshold: float = Field(default=0.9, ge=0.0, le=1.0)
+    bm25_k1: float = Field(default=1.5, gt=0.0)
+    bm25_b: float = Field(default=0.75, ge=0.0, le=1.0)
+    bm25_epsilon: float = Field(default=0.25, ge=0.0)
+
+
+class IndexConfig(BaseModel):
+    """TPU index engine (replaces the reference's FAISSConfig,
+    reference: src/config.py:126-144, configs/index.yaml:1-63).
+
+    The index is exact blocked-matmul cosine top-k, so the HNSW graph
+    parameters are gone; what remains is layout, precision and the
+    build-time validation gate."""
+
+    embedding_dim: int = Field(default=384, ge=1)
+    metric: Literal["cosine", "dot"] = "cosine"
+    dtype: Literal["float32", "bfloat16", "int8"] = "float32"
+    block_rows: int = Field(default=1024, ge=128)
+    default_k: int = Field(default=10, ge=1)
+    shard_axis: str = "index"
+    validation_queries: int = Field(default=1000, ge=1)
+    validation_recall_at_10: float = Field(default=0.97, ge=0.0, le=1.0)
+
+
+class MeshConfig(BaseModel):
+    """Device mesh (TPU-native addition; no reference equivalent —
+    the reference is single-process single-device, SURVEY.md section 2.10)."""
+
+    data_axis: str = "data"
+    index_axis: str = "index"
+    data_parallel: int = Field(default=-1, ge=-1)  # -1 = all devices
+    index_parallel: int = Field(default=1, ge=1)
+
+
+class PrecisionConfig(BaseModel):
+    """Compute/storage precision (TPU-native addition)."""
+
+    compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
+    param_dtype: Literal["float32", "bfloat16"] = "float32"
+    index_dtype: Literal["float32", "bfloat16", "int8"] = "float32"
+
+
+class CORSConfig(BaseModel):
+    """Reference: src/config.py:147-168."""
+
+    enabled: bool = True
+    allow_origins: list[str] = Field(default_factory=lambda: ["*"])
+    allow_methods: list[str] = Field(default_factory=lambda: ["GET", "POST"])
+    allow_headers: list[str] = Field(default_factory=lambda: ["*"])
+
+
+class RateLimitConfig(BaseModel):
+    """Reference: src/config.py:171-176."""
+
+    enabled: bool = False
+    requests_per_minute: int = Field(default=60, ge=1)
+    burst: int = Field(default=10, ge=1)
+
+
+class AuthConfig(BaseModel):
+    """Reference: src/config.py:179-190."""
+
+    enabled: bool = False
+    api_key_hashes: list[str] = Field(default_factory=list)
+    salt: str = ""
+
+
+class MonitoringConfig(BaseModel):
+    """Reference: src/config.py:193-205."""
+
+    prometheus_enabled: bool = True
+    prometheus_path: str = "/metrics"
+    opentelemetry_enabled: bool = False
+    opentelemetry_endpoint: str = ""
+    jax_profiler_port: int = Field(default=0, ge=0, le=65535)
+
+
+class ServiceConfig(BaseModel):
+    """Reference: src/config.py:208-220."""
+
+    host: str = "0.0.0.0"
+    port: int = Field(default=8000, ge=1, le=65535)
+    workers: int = Field(default=1, ge=1)
+    environment: Literal["development", "staging", "production"] = "development"
+    version: str = "0.1.0"
+    micro_batch_window_ms: float = Field(default=2.0, ge=0.0)
+    micro_batch_max_size: int = Field(default=64, ge=1)
+
+
+class SearchConfig(BaseModel):
+    """Reference: src/config.py:223-238."""
+
+    default_k: int = Field(default=10, ge=1, le=100)
+    max_k: int = Field(default=100, ge=1)
+    rerank_enabled: bool = False
+    rerank_top_k: int = Field(default=50, ge=1, le=200)
+    rerank_timeout_ms: float = Field(default=5000.0, gt=0.0)
+    maxsim_aggregation: bool = False
+
+
+class DataConfig(BaseModel):
+    """Reference: src/config.py:241-260."""
+
+    data_dir: str = "data"
+    artifacts_dir: str = "artifacts"
+    max_samples: int = Field(default=0, ge=0)  # 0 = all
+    chunk_max_tokens: int = Field(default=512, ge=8)
+    chunk_stride: int = Field(default=80, ge=0)
+
+
+class Settings(BaseModel):
+    """Root settings tree (reference: src/config.py:263-403)."""
+
+    student: StudentModelConfig = Field(default_factory=StudentModelConfig)
+    teacher: TeacherModelConfig = Field(default_factory=TeacherModelConfig)
+    loss: LossConfig = Field(default_factory=LossConfig)
+    training: TrainingConfig = Field(default_factory=TrainingConfig)
+    mining: MiningConfig = Field(default_factory=MiningConfig)
+    index: IndexConfig = Field(default_factory=IndexConfig)
+    mesh: MeshConfig = Field(default_factory=MeshConfig)
+    precision: PrecisionConfig = Field(default_factory=PrecisionConfig)
+    cors: CORSConfig = Field(default_factory=CORSConfig)
+    rate_limit: RateLimitConfig = Field(default_factory=RateLimitConfig)
+    auth: AuthConfig = Field(default_factory=AuthConfig)
+    monitoring: MonitoringConfig = Field(default_factory=MonitoringConfig)
+    service: ServiceConfig = Field(default_factory=ServiceConfig)
+    search: SearchConfig = Field(default_factory=SearchConfig)
+    data: DataConfig = Field(default_factory=DataConfig)
+
+    @model_validator(mode="after")
+    def _production_enforcement(self) -> "Settings":
+        """Warn about unsafe production combinations
+        (reference: src/config.py:298-318)."""
+        if self.service.environment == "production":
+            if "*" in self.cors.allow_origins:
+                warnings.warn(
+                    "CORS wildcard origin in production", UserWarning, stacklevel=2
+                )
+            if not self.auth.enabled:
+                warnings.warn(
+                    "API key auth disabled in production", UserWarning, stacklevel=2
+                )
+            if not self.rate_limit.enabled:
+                warnings.warn(
+                    "rate limiting disabled in production", UserWarning, stacklevel=2
+                )
+        return self
+
+    def validate_for_production(self) -> list[str]:
+        """Audit for production readiness; returns list of problems
+        (reference: src/config.py:357-385)."""
+        problems: list[str] = []
+        if "*" in self.cors.allow_origins:
+            problems.append("cors.allow_origins contains wildcard")
+        if not self.auth.enabled:
+            problems.append("auth.enabled is False")
+        if not self.rate_limit.enabled:
+            problems.append("rate_limit.enabled is False")
+        if not self.monitoring.prometheus_enabled:
+            problems.append("monitoring.prometheus_enabled is False")
+        return problems
+
+    # -- YAML round trip (reference: src/config.py:320-351) ----------------
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "Settings":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.model_validate(raw)
+
+    def to_yaml(self, path: str | Path) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.model_dump(mode="json"), f, sort_keys=False)
+
+    # -- env overrides ------------------------------------------------------
+
+    @classmethod
+    def from_env(cls, base: "Settings | None" = None) -> "Settings":
+        """Apply ``SEMANTIC_KD_section__field=value`` env overrides on top of
+        ``base`` (or defaults). Values are parsed as JSON when possible so
+        lists/bools/numbers work; otherwise kept as strings."""
+        data = (base or cls()).model_dump()
+        for key, value in os.environ.items():
+            if not key.startswith(ENV_PREFIX) or key == "SEMANTIC_KD_CONFIG_PATH":
+                continue
+            path_parts = key[len(ENV_PREFIX) :].lower().split(NESTED_DELIMITER)
+            node: Any = data
+            ok = True
+            for part in path_parts[:-1]:
+                if isinstance(node, dict) and part in node:
+                    node = node[part]
+                else:
+                    ok = False
+                    break
+            if not ok or not isinstance(node, dict):
+                continue
+            leaf = path_parts[-1]
+            if leaf not in node:
+                continue
+            try:
+                node[leaf] = json.loads(value)
+            except (json.JSONDecodeError, ValueError):
+                node[leaf] = value
+        return cls.model_validate(data)
+
+
+@lru_cache(maxsize=1)
+def get_settings() -> Settings:
+    """Cascade: YAML at ``SEMANTIC_KD_CONFIG_PATH`` (if set) -> env overrides
+    -> defaults. Cached (reference: src/config.py:388-403)."""
+    config_path = os.environ.get("SEMANTIC_KD_CONFIG_PATH")
+    base = Settings.from_yaml(config_path) if config_path else None
+    return Settings.from_env(base)
+
+
+def reset_settings_cache() -> None:
+    """Clear the cached settings (tests and hot-reload)."""
+    get_settings.cache_clear()

@@ -1,0 +1,162 @@
+"""Test fixtures.
+
+Strategy mirrors the reference (reference: tests/conftest.py:77-270, SURVEY.md
+section 4.1): seeded fake encoders keyed on input hash, a tiny real exact
+index pinning the on-disk layout, and an app factory patched for endpoint
+tests — plus what the reference lacked: an 8-device virtual CPU mesh so the
+sharded index and pjit train step are exercised without TPU hardware.
+"""
+
+import hashlib
+import os
+
+# Must be set before jax is imported anywhere. Force-assign: the host env
+# pins JAX_PLATFORMS=axon (the real TPU tunnel) which must not leak into
+# unit tests — they run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+def _seeded(texts, dim=384):
+    """Deterministic per-input pseudo-embeddings, L2-normalized
+    (reference: tests/conftest.py:77-94)."""
+    seed = int(hashlib.sha256(str(list(texts)).encode()).hexdigest()[:8], 16)
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((len(texts), dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb
+
+
+class FakeStudent:
+    """Duck-typed StudentModel: deterministic random embeddings keyed on
+    input so retrieval order is stable (reference: tests/conftest.py:77-94)."""
+
+    embedding_dim = 384
+    device = "cpu"
+
+    def encode(self, texts, normalize=True, batch_size=32, show_progress=False):
+        if isinstance(texts, str):
+            texts = [texts]
+        return _seeded(texts)
+
+    def encode_queries(self, texts, show_progress=False, batch_size=32):
+        if isinstance(texts, str):
+            texts = [texts]
+        return _seeded(["query: " + t for t in texts])
+
+    def encode_documents(self, texts, batch_size=32, show_progress=False):
+        if isinstance(texts, str):
+            texts = [texts]
+        return _seeded(["passage: " + t for t in texts])
+
+    def compute_similarity(self, q, d):
+        return np.asarray(q) @ np.asarray(d).T
+
+    def cleanup(self):
+        pass
+
+
+class FakeTeacher:
+    """Duck-typed TeacherModel: seeded uniform [-5, 5] scores
+    (reference: tests/conftest.py:98-110)."""
+
+    model_name = "fake-teacher"
+    device = "cpu"
+
+    def score(self, pairs, batch_size=32, show_progress=False):
+        seed = int(hashlib.sha256(str(list(pairs)).encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed)
+        return (rng.uniform(-5, 5, size=len(pairs))).tolist()
+
+    def predict(self, pairs):
+        return self.score(pairs)
+
+    def predict_score(self, query, doc):
+        return self.score([(query, doc)])[0]
+
+    def get_confidence(self, score):
+        return 1.0 / (1.0 + np.exp(-float(score)))
+
+
+@pytest.fixture
+def fake_student():
+    return FakeStudent()
+
+
+@pytest.fixture
+def fake_teacher():
+    return FakeTeacher()
+
+
+@pytest.fixture
+def sample_queries():
+    return [
+        "what is machine learning",
+        "how do neural networks work",
+        "capital of france",
+        "python list comprehension",
+    ]
+
+
+@pytest.fixture
+def sample_documents():
+    return [
+        "Machine learning is a field of artificial intelligence.",
+        "Neural networks are computing systems inspired by the brain.",
+        "Paris is the capital and largest city of France.",
+        "List comprehensions provide a concise way to create lists in Python.",
+        "The Eiffel Tower is in Paris, France.",
+        "Deep learning uses many layers of neural networks.",
+        "Supervised learning uses labeled training data.",
+        "France is a country in western Europe.",
+        "Python is a popular programming language.",
+        "Gradient descent optimizes model parameters.",
+    ]
+
+
+@pytest.fixture
+def corpus_parquet(tmp_path, sample_documents):
+    """Tiny prepared-corpus parquet matching the prepare.py row schema
+    (reference: src/data/prepare.py rows, tests/conftest.py:204-219)."""
+    import pandas as pd
+
+    rows = []
+    for i, text in enumerate(sample_documents):
+        rows.append(
+            {
+                "chunk_id": f"d{i}_c0",
+                "doc_id": f"d{i}",
+                "query_id": "",
+                "query_text": "",
+                "text": text,
+                "tokens": len(text.split()),
+                "is_relevant": 0,
+                "split": "test",
+                "updated_at": "2026-01-01T00:00:00",
+            }
+        )
+    path = tmp_path / "corpus.parquet"
+    pd.DataFrame(rows).to_parquet(path)
+    return path
+
+
+@pytest.fixture
+def temp_index_dir(tmp_path, fake_student, sample_documents):
+    """Small real exact index on disk — pins the on-disk layout
+    (reference: tests/conftest.py:176-200)."""
+    from sskd_tpu.index.builder import IndexBuilder
+
+    builder = IndexBuilder(embedding_dim=384)
+    emb = fake_student.encode_documents(sample_documents)
+    doc_ids = [f"d{i}" for i in range(len(sample_documents))]
+    builder.build_from_arrays(emb, doc_ids, texts=list(sample_documents))
+    out = tmp_path / "index"
+    builder.save(out)
+    return out
