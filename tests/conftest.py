@@ -20,6 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# sitecustomize (axon TPU plugin) imports jax before conftest runs, so the
+# env var alone can be too late — update the live config as well.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 

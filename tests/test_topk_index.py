@@ -1,0 +1,200 @@
+"""Index engine tests: exact blocked top-k, int8 path, persistence layout,
+sharded search on the 8-device virtual CPU mesh (SURVEY.md section 4.4 —
+the multi-device tests the reference lacked)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sskd_tpu.exceptions import IndexLoadError, IndexVersionError
+from sskd_tpu.index.builder import IndexBuilder
+from sskd_tpu.ops.quant import dequantize_rows, quantization_error, quantize_rows
+from sskd_tpu.ops.topk import cosine_topk, merge_topk
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestCosineTopK:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(0)
+        corpus = _normed(rng, 1000, 64)
+        queries = _normed(rng, 8, 64)
+        vals, idx = cosine_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10, block_rows=128)
+        gt = queries @ corpus.T
+        gt_idx = np.argsort(-gt, axis=1)[:, :10]
+        np.testing.assert_array_equal(np.asarray(idx), gt_idx)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.take_along_axis(gt, gt_idx, 1), rtol=1e-5
+        )
+
+    def test_k_larger_than_corpus_pads_with_sentinels(self):
+        rng = np.random.default_rng(1)
+        corpus = _normed(rng, 5, 16)
+        queries = _normed(rng, 2, 16)
+        vals, idx = cosine_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10, block_rows=128)
+        assert idx.shape == (2, 10)
+        assert (np.asarray(idx)[:, 5:] == -1).all()
+
+    def test_block_not_dividing_corpus(self):
+        rng = np.random.default_rng(2)
+        corpus = _normed(rng, 777, 32)
+        queries = _normed(rng, 3, 32)
+        vals, idx = cosine_topk(jnp.asarray(queries), jnp.asarray(corpus), k=5, block_rows=256)
+        gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :5]
+        np.testing.assert_array_equal(np.asarray(idx), gt_idx)
+
+    def test_int8_high_recall(self):
+        rng = np.random.default_rng(3)
+        corpus = _normed(rng, 2000, 64)
+        queries = _normed(rng, 16, 64)
+        values, scales = quantize_rows(jnp.asarray(corpus))
+        vals, idx = cosine_topk(
+            jnp.asarray(queries), values, k=10, block_rows=512, row_scales=scales
+        )
+        gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+        recall = np.mean(
+            [len(set(idx[i].tolist()) & set(gt_idx[i])) / 10 for i in range(16)]
+        )
+        assert recall >= 0.95
+
+    def test_merge_topk(self):
+        scores = jnp.asarray([[1.0, 5.0, 3.0, 4.0]])
+        indices = jnp.asarray([[10, 20, 30, 40]], dtype=jnp.int32)
+        v, i = merge_topk(scores, indices, 2)
+        assert np.asarray(v).tolist() == [[5.0, 4.0]]
+        assert np.asarray(i).tolist() == [[20, 40]]
+
+
+class TestQuant:
+    def test_roundtrip_error_small(self):
+        rng = np.random.default_rng(4)
+        x = _normed(rng, 100, 384)
+        err = quantization_error(x)
+        assert err["min_row_cosine"] > 0.999
+        assert err["max_abs_err"] < 0.01
+
+    def test_dequantize_shape(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(_normed(rng, 10, 8))
+        v, s = quantize_rows(x)
+        assert v.dtype == jnp.int8 and s.shape == (10,)
+        assert dequantize_rows(v, s).shape == (10, 8)
+
+
+class TestIndexBuilder:
+    def test_build_search_contract(self, fake_student, sample_documents):
+        b = IndexBuilder(embedding_dim=384)
+        emb = fake_student.encode_documents(sample_documents)
+        ids = [f"d{i}" for i in range(len(sample_documents))]
+        b.build_from_arrays(emb, ids, texts=list(sample_documents))
+        assert b.ntotal == len(sample_documents)
+        assert b.doc_ids == ids
+        q = fake_student.encode_queries(["anything"])
+        scores, idx = b.search(q, k=3)
+        assert scores.shape == (1, 3) and idx.shape == (1, 3)
+        # self-retrieval: a doc embedding finds itself first
+        scores, idx = b.search(emb[4], k=1)
+        assert idx[0, 0] == 4
+        assert scores[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+    def test_save_load_roundtrip(self, temp_index_dir):
+        b = IndexBuilder()
+        b.load(temp_index_dir)
+        assert b.ntotal == 10
+        assert len(b.doc_ids) == 10
+        assert b.texts is not None
+        s, i = b.search(np.ones(384, dtype=np.float32), k=2)
+        assert i.shape == (1, 2)
+
+    def test_load_rejects_corruption(self, temp_index_dir):
+        vec = np.load(temp_index_dir / "vectors.npy")
+        vec[0, 0] += 1.0
+        np.save(temp_index_dir / "vectors.npy", vec)
+        with pytest.raises(IndexLoadError):
+            IndexBuilder().load(temp_index_dir)
+
+    def test_load_rejects_bad_version(self, temp_index_dir):
+        (temp_index_dir / "INDEX_VERSION").write_text("bogus-9\n")
+        with pytest.raises(IndexVersionError):
+            IndexBuilder().load(temp_index_dir)
+
+    def test_int8_index_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(7)
+        emb = _normed(rng, 200, 384)
+        ids = [f"d{i}" for i in range(200)]
+        b = IndexBuilder(dtype="int8")
+        b.build_from_arrays(emb, ids)
+        out = tmp_path / "idx8"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+        assert b2.dtype == "int8"
+        _, idx = b2.search(emb[:4], k=1)
+        assert idx[:, 0].tolist() == [0, 1, 2, 3]
+
+    def test_validation_gate(self, tmp_path):
+        rng = np.random.default_rng(8)
+        emb = _normed(rng, 300, 384)
+        b = IndexBuilder(dtype="int8")
+        b.build_from_arrays(emb, [str(i) for i in range(300)])
+        report = b.validate(n_queries=50, k=10)
+        assert report["recall@10"] >= 0.97  # reference gate configs/index.yaml:55
+
+    def test_build_from_parquet(self, fake_student, corpus_parquet):
+        b = IndexBuilder()
+        b.build_from_parquet(fake_student, corpus_parquet, batch_size=4)
+        assert b.ntotal == 10
+        assert b.doc_ids[0] == "d0_c0"
+        assert b.texts is not None
+
+
+class TestShardedIndex:
+    def test_sharded_matches_single_device(self):
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        assert jax.device_count() == 8, "tests need the 8-device CPU mesh"
+        mesh = create_mesh(data_parallel=1, index_parallel=8)
+        rng = np.random.default_rng(9)
+        emb = _normed(rng, 1000, 64)
+        ids = [f"d{i}" for i in range(1000)]
+        queries = _normed(rng, 4, 64)
+
+        sharded = ShardedIndex(mesh, block_rows=128)
+        sharded.build_from_arrays(emb, ids)
+        s_vals, s_idx = sharded.search(queries, k=10)
+
+        gt = queries @ emb.T
+        gt_idx = np.argsort(-gt, axis=1)[:, :10]
+        np.testing.assert_array_equal(s_idx, gt_idx)
+        np.testing.assert_allclose(
+            s_vals, np.take_along_axis(gt, gt_idx, 1), rtol=1e-5
+        )
+
+    def test_sharded_int8(self):
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=1, index_parallel=8)
+        rng = np.random.default_rng(10)
+        emb = _normed(rng, 512, 64)
+        sharded = ShardedIndex(mesh, block_rows=128)
+        sharded.build_from_arrays(emb, [str(i) for i in range(512)], dtype="int8")
+        _, idx = sharded.search(emb[:4], k=1)
+        assert idx[:, 0].tolist() == [0, 1, 2, 3]
+
+    def test_from_builder(self, fake_student, sample_documents):
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        b = IndexBuilder(embedding_dim=384)
+        emb = fake_student.encode_documents(sample_documents)
+        b.build_from_arrays(emb, [f"d{i}" for i in range(10)])
+        mesh = create_mesh(data_parallel=1, index_parallel=8)
+        sharded = ShardedIndex.from_builder(b, mesh)
+        _, idx = sharded.search(emb[3], k=1)
+        assert idx[0, 0] == 3
