@@ -1,0 +1,322 @@
+"""KDTrainer — jit/pjit data-parallel knowledge-distillation training.
+
+Replaces the reference trainer (reference: src/kd/train.py:94-304) with a
+TPU-native loop, fixing its documented defects (SURVEY.md section 7.4):
+
+- the per-QUERY python hot loop (reference train.py:176) becomes one batched
+  XLA program over padded [B, N, L] tensors;
+- temperature anneals per *step* 4.0 -> 2.0 (reference annealed per epoch
+  starting at 3.33, train.py:161);
+- warmup / gradient clipping / grad accumulation / weight decay are actually
+  wired (reference declared them in config but never used them,
+  config.py:84-89);
+- checkpoints carry optimizer state + step and support resume via orbax
+  (reference saved model-only, no resume — SURVEY.md section 5.4);
+- early stopping watches a dev metric (ndcg@10) when a dev set is given,
+  falling back to train loss (reference always used train loss despite its
+  ``early_stopping_metric: ndcg@10`` config, train.py:286 vs config.py:93);
+- data parallelism over the ``data`` mesh axis via sharded jit (the
+  reference was single-device, SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sskd_tpu.config import Settings
+from sskd_tpu.kd.dataset import KDDataset, KDSample
+from sskd_tpu.kd.losses import combined_kd_loss, temperature_at
+from sskd_tpu.utils.logging import get_logger
+from sskd_tpu.utils.metrics import ndcg_at_k
+
+logger = get_logger("kd.train")
+
+
+class KDTrainer:
+    def __init__(
+        self,
+        student,
+        settings: Settings | None = None,
+        mesh=None,
+    ):
+        self.student = student
+        self.settings = settings or Settings()
+        self.mesh = mesh
+        self.cfg = self.settings.training
+        self.loss_cfg = self.settings.loss
+        self._train_step = None
+        self._tx = None
+        self._total_steps = 0
+
+    # ------------------------------------------------------------------
+    # Optimizer / train step
+    # ------------------------------------------------------------------
+
+    def _make_optimizer(self, total_steps: int):
+        cfg = self.cfg
+        warmup = max(1, int(total_steps * cfg.warmup_ratio))
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+                optax.linear_schedule(
+                    cfg.learning_rate, 0.0, max(1, total_steps - warmup)
+                ),
+            ],
+            boundaries=[warmup],
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(schedule, weight_decay=cfg.weight_decay),
+        )
+        if cfg.grad_accum_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+        return tx
+
+    def _build_train_step(self):
+        module = self.student.module
+        loss_cfg = self.loss_cfg
+        tx = self._tx
+
+        def step_fn(params, opt_state, batch, progress):
+            def loss_fn(p):
+                q_emb = module.apply(p, batch["query_ids"], batch["query_mask"])
+                B, N, L = batch["doc_ids"].shape
+                d_emb = module.apply(
+                    p,
+                    batch["doc_ids"].reshape(B * N, L),
+                    batch["doc_mask"].reshape(B * N, L),
+                ).reshape(B, N, -1)
+                scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
+                temp = temperature_at(
+                    progress, loss_cfg.temperature_start, loss_cfg.temperature_end
+                )
+                out = combined_kd_loss(
+                    scores,
+                    batch["teacher_scores"],
+                    batch["doc_valid"],
+                    temperature=temp,
+                    margin_mse_weight=loss_cfg.margin_mse_weight,
+                    listwise_kd_weight=loss_cfg.listwise_kd_weight,
+                    contrastive_weight=loss_cfg.contrastive_weight,
+                    tau=loss_cfg.contrastive_tau,
+                )
+                return out["loss"], out
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, aux
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(self.mesh, P())
+            batch_sharding = NamedSharding(self.mesh, P("data"))
+            self._batch_sharding = batch_sharding
+            self._replicated = replicated
+            return jax.jit(
+                step_fn,
+                in_shardings=(
+                    replicated,
+                    replicated,
+                    batch_sharding,
+                    replicated,
+                ),
+                out_shardings=(replicated, replicated, replicated),
+                donate_argnums=(0, 1),
+            )
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    # Dev evaluation for early stopping
+    # ------------------------------------------------------------------
+
+    def _dev_ndcg(self, dev_samples: Sequence[KDSample], params) -> float:
+        """In-candidate nDCG@10: each dev query ranks its own doc list
+        (positive at 0) with the current params."""
+        old = self.student.params
+        self.student.params = params
+        try:
+            vals = []
+            for s in dev_samples:
+                q = self.student.encode_queries([s.query])
+                d = self.student.encode_documents(s.docs)
+                order = np.argsort(-(q @ d.T)[0])
+                rel = [1.0 if i == 0 else 0.0 for i in order]
+                vals.append(ndcg_at_k(rel, k=10))
+            return float(np.mean(vals)) if vals else 0.0
+        finally:
+            self.student.params = old
+
+    # ------------------------------------------------------------------
+    # Checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def _ckpt_manager(self, output_dir: Path):
+        import orbax.checkpoint as ocp
+
+        return ocp.CheckpointManager(
+            (output_dir / "checkpoints").absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+        )
+
+    # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        train_samples: Sequence[KDSample],
+        dev_samples: Sequence[KDSample] | None = None,
+        epochs: int | None = None,
+        output_dir: str | Path | None = None,
+        num_docs: int | None = None,
+        query_len: int = 64,
+        doc_len: int = 192,
+    ) -> dict:
+        import orbax.checkpoint as ocp
+
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        output_dir = Path(output_dir or cfg.output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+        dataset = KDDataset(
+            train_samples,
+            self.student.tokenizer,
+            num_docs=num_docs or cfg.num_docs_per_query,
+            query_len=query_len,
+            doc_len=doc_len,
+            query_prefix=self.student.query_prefix,
+            passage_prefix=self.student.passage_prefix,
+        )
+        steps_per_epoch = dataset.steps_per_epoch(cfg.batch_size)
+        total_steps = steps_per_epoch * epochs
+        self._total_steps = total_steps
+        self._tx = self._make_optimizer(total_steps)
+        self._train_step = self._build_train_step()
+
+        params = self.student.params
+        opt_state = self._tx.init(params)
+        global_step = 0
+        start_epoch = 0
+        best_metric = -np.inf
+
+        mgr = self._ckpt_manager(output_dir)
+        latest = mgr.latest_step()
+        if cfg.resume and latest is not None:
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "step": 0,
+                "epoch": 0,
+                "best_metric": 0.0,
+            }
+            restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            global_step = int(restored["step"])
+            start_epoch = int(restored["epoch"])
+            best_metric = float(restored["best_metric"])
+            logger.info(
+                f"resumed from checkpoint step={global_step} epoch={start_epoch}"
+            )
+
+        history: list[dict] = []
+        epochs_without_improvement = 0
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            losses, components = [], {"margin_mse": [], "listwise_kd": [], "contrastive": []}
+            for batch in dataset.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+            ):
+                progress = jnp.float32(global_step / max(1, total_steps - 1))
+                if self.mesh is not None:
+                    batch = jax.device_put(batch, self._batch_sharding)
+                params, opt_state, aux = self._train_step(
+                    params, opt_state, batch, progress
+                )
+                losses.append(float(aux["loss"]))
+                for key in components:
+                    components[key].append(float(aux[key]))
+                global_step += 1
+
+            record = {
+                "epoch": epoch + 1,
+                "train_loss": float(np.mean(losses)),
+                "temperature": float(
+                    temperature_at(
+                        (global_step - 1) / max(1, total_steps - 1),
+                        self.loss_cfg.temperature_start,
+                        self.loss_cfg.temperature_end,
+                    )
+                ),
+                "seconds": time.time() - t0,
+                **{k: float(np.mean(v)) for k, v in components.items()},
+            }
+
+            if dev_samples:
+                record["dev_ndcg@10"] = self._dev_ndcg(dev_samples, params)
+                metric = record["dev_ndcg@10"]
+            else:
+                metric = -record["train_loss"]
+
+            history.append(record)
+            logger.info(
+                f"epoch {epoch + 1}/{epochs}: loss={record['train_loss']:.4f} "
+                f"T={record['temperature']:.2f} "
+                + (f"dev_ndcg@10={record.get('dev_ndcg@10'):.4f} " if dev_samples else "")
+                + f"({record['seconds']:.1f}s)"
+            )
+
+            # per-epoch checkpoint + metrics json
+            # (reference: train.py:238-249 checkpoint_epoch_N + metrics json)
+            mgr.save(
+                global_step,
+                args=ocp.args.StandardSave(
+                    {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "step": global_step,
+                        "epoch": epoch + 1,
+                        "best_metric": float(max(best_metric, metric)),
+                    }
+                ),
+            )
+            with open(output_dir / f"metrics_epoch_{epoch + 1}.json", "w") as f:
+                json.dump(record, f, indent=2)
+
+            if metric > best_metric:
+                best_metric = metric
+                epochs_without_improvement = 0
+                self.student.params = params
+                self.student.save(output_dir / "best_model")
+            else:
+                epochs_without_improvement += 1
+                if epochs_without_improvement >= cfg.early_stopping_patience:
+                    logger.info(
+                        f"early stopping after epoch {epoch + 1} "
+                        f"(patience {cfg.early_stopping_patience})"
+                    )
+                    break
+
+        mgr.wait_until_finished()
+        mgr.close()
+        self.student.params = params
+        self.student.cleanup()  # drop stale jit caches bound to old buffers
+        with open(output_dir / "history.json", "w") as f:
+            json.dump(history, f, indent=2)
+        return {
+            "history": history,
+            "best_metric": float(best_metric),
+            "global_step": global_step,
+            "output_dir": str(output_dir),
+        }
