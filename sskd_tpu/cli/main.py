@@ -1,0 +1,316 @@
+"""semantic-kd CLI — the reference declared this entry point but never
+committed it (reference: pyproject.toml:61 ``semantic-kd = src.cli.main:app``
+with an empty src/cli/, SURVEY.md L8 "phantom Typer CLI"). Implemented for
+real, argparse-based, covering the reference's Makefile verbs and scripts.
+
+Usage examples:
+  semantic-kd demo-data --out data/raw/demo --samples 200
+  semantic-kd prepare --data-dir data --dataset demo
+  semantic-kd integrity --data-dir data --dataset demo
+  semantic-kd train --data-dir data --dataset demo --stage 2 --epochs 3
+  semantic-kd index build --model artifacts/models/kd_student/best_model \\
+      --data data/chunks/demo/train.parquet --out artifacts/index
+  semantic-kd index validate --dir artifacts/index
+  semantic-kd eval --model ... --data ...
+  semantic-kd serve --port 8000 --index artifacts/index
+  semantic-kd export --model ... --out ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_platform_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (cpu/tpu); overrides host pinning",
+    )
+    p.add_argument("--cpu-devices", type=int, default=None, help="virtual CPU device count")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="semantic-kd",
+        description="TPU-native semantic-search + knowledge-distillation framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("demo-data", help="generate the offline synthetic dataset")
+    p.add_argument("--out", default="data/raw/demo")
+    p.add_argument("--samples", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+    _add_platform_arg(p)
+
+    p = sub.add_parser("prepare", help="chunk raw JSONL to parquet")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--dataset", default="demo")
+    p.add_argument("--max-tokens", type=int, default=512)
+    p.add_argument("--stride", type=int, default=80)
+    p.add_argument("--max-samples", type=int, default=None)
+    _add_platform_arg(p)
+
+    p = sub.add_parser("integrity", help="verify dataset integrity")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--dataset", default="demo")
+    _add_platform_arg(p)
+
+    p = sub.add_parser("train", help="run the end-to-end KD training pipeline")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--dataset", default="demo")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--stage", type=int, default=None, choices=[1, 2, 3])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny architectures (demo/CI)")
+    p.add_argument("--data-parallel", type=int, default=1, help="DP mesh size")
+    _add_platform_arg(p)
+
+    p = sub.add_parser("index", help="vector index operations")
+    index_sub = p.add_subparsers(dest="index_command", required=True)
+    pb = index_sub.add_parser("build", help="encode a corpus parquet and build the index")
+    pb.add_argument("--model", required=True)
+    pb.add_argument("--data", required=True, help="prepared corpus parquet")
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--batch-size", type=int, default=256)
+    pb.add_argument("--max-docs", type=int, default=None)
+    pb.add_argument("--dtype", default="float32", choices=["float32", "int8"])
+    pb.add_argument("--tiny", action="store_true")
+    _add_platform_arg(pb)
+    pv = index_sub.add_parser("validate", help="recall gate vs brute force")
+    pv.add_argument("--dir", required=True)
+    pv.add_argument("--queries", type=int, default=1000)
+    pv.add_argument("--k", type=int, default=10)
+    pv.add_argument("--min-recall", type=float, default=0.97)
+    _add_platform_arg(pv)
+
+    p = sub.add_parser("eval", help="retrieval evaluation of a model over raw JSONL")
+    p.add_argument("--model", required=True)
+    p.add_argument("--data", required=True, help="raw JSONL (msmarco layout)")
+    p.add_argument("--max-samples", type=int, default=200)
+    p.add_argument("--out", default=None, help="write metrics JSON here")
+    p.add_argument("--tiny", action="store_true")
+    _add_platform_arg(p)
+
+    p = sub.add_parser("compare", help="3-way compare + acceptance gate")
+    p.add_argument("--kd-model", required=True)
+    p.add_argument("--vanilla-model", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--max-samples", type=int, default=200)
+    p.add_argument("--out", default=None)
+    p.add_argument("--tiny", action="store_true")
+    _add_platform_arg(p)
+
+    p = sub.add_parser("serve", help="start the search service")
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--model", default=None, help="student model path")
+    p.add_argument("--index", default=None, help="index dir to preload")
+    p.add_argument("--device", default=None)
+    _add_platform_arg(p)
+
+    p = sub.add_parser("export", help="quantized index-matrix / model export")
+    p.add_argument("--model", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--skip-validate", action="store_true")
+    _add_platform_arg(p)
+
+    p = sub.add_parser("config", help="print the resolved settings tree")
+    p.add_argument("--production-audit", action="store_true")
+    _add_platform_arg(p)
+
+    return parser
+
+
+def _tiny_student(path_or_name: str, tiny: bool):
+    from sskd_tpu.models import StudentModel
+
+    if tiny and not Path(path_or_name).is_dir():
+        from sskd_tpu.models import BertConfig
+
+        return StudentModel(path_or_name, config=BertConfig.tiny())
+    return StudentModel(path_or_name)
+
+
+def _load_eval_inputs(raw_jsonl: str, max_samples: int):
+    from sskd_tpu.cli.pipeline import build_training_inputs
+
+    queries, positives, positive_ids, corpus = build_training_inputs(
+        Path(raw_jsonl), max_samples
+    )
+    q_map = {f"q{i}": q for i, q in enumerate(queries)}
+    qrels = {
+        f"q{i}": {pid: 1.0 for pid in pids} for i, pids in enumerate(positive_ids)
+    }
+    return q_map, corpus, qrels
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from sskd_tpu.utils.logging import setup_logging
+    from sskd_tpu.utils.platform import apply_platform
+
+    setup_logging()
+    apply_platform(getattr(args, "platform", None), getattr(args, "cpu_devices", None))
+
+    from sskd_tpu.config import get_settings
+
+    settings = get_settings()
+
+    if args.command == "demo-data":
+        from sskd_tpu.data.demo import generate_demo_dataset
+
+        manifest = generate_demo_dataset(args.out, num_samples=args.samples, seed=args.seed)
+        print(json.dumps(manifest, indent=2))
+        return 0
+
+    if args.command == "prepare":
+        from sskd_tpu.data.prepare import prepare_dataset
+
+        manifest = prepare_dataset(
+            args.data_dir,
+            dataset=args.dataset,
+            max_tokens=args.max_tokens,
+            stride=args.stride,
+            max_samples=args.max_samples,
+        )
+        print(json.dumps(manifest, indent=2))
+        return 0
+
+    if args.command == "integrity":
+        from sskd_tpu.data.integrity import check_dataset_integrity
+
+        report = check_dataset_integrity(args.data_dir, args.dataset)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 1
+
+    if args.command == "train":
+        from sskd_tpu.cli.pipeline import run_train_pipeline
+
+        if args.batch_size:
+            settings = settings.model_copy(deep=True)
+            settings.training.batch_size = args.batch_size
+        student_config = teacher_config = None
+        if args.tiny:
+            from sskd_tpu.models import BertConfig
+
+            student_config = BertConfig.tiny()
+            teacher_config = BertConfig.tiny()
+        mesh = None
+        if args.data_parallel > 1:
+            from sskd_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(data_parallel=args.data_parallel, index_parallel=1)
+        result = run_train_pipeline(
+            settings,
+            data_dir=args.data_dir,
+            output_dir=args.output_dir,
+            dataset=args.dataset,
+            max_samples=args.max_samples,
+            stage=args.stage,
+            epochs=args.epochs,
+            student_config=student_config,
+            teacher_config=teacher_config,
+            mesh=mesh,
+        )
+        print(json.dumps({k: v for k, v in result.items() if k != "history"}, indent=2))
+        return 0
+
+    if args.command == "index":
+        from sskd_tpu.index.builder import IndexBuilder
+
+        if args.index_command == "build":
+            student = _tiny_student(args.model, args.tiny)
+            builder = IndexBuilder(
+                embedding_dim=student.embedding_dim, dtype=args.dtype
+            )
+            builder.build_from_parquet(
+                student, args.data, batch_size=args.batch_size, max_docs=args.max_docs
+            )
+            builder.save(args.out)
+            print(json.dumps({"ntotal": builder.ntotal, "out": args.out}))
+            return 0
+        if args.index_command == "validate":
+            builder = IndexBuilder().load(args.dir)
+            report = builder.validate(n_queries=args.queries, k=args.k)
+            report["passed"] = report[f"recall@{args.k}"] >= args.min_recall
+            print(json.dumps(report, indent=2))
+            return 0 if report["passed"] else 1
+
+    if args.command == "eval":
+        from sskd_tpu.kd.eval import KDEvaluator
+
+        model = _tiny_student(args.model, args.tiny)
+        q_map, corpus, qrels = _load_eval_inputs(args.data, args.max_samples)
+        metrics = KDEvaluator().evaluate_retrieval(model, q_map, corpus, qrels)
+        print(json.dumps(metrics, indent=2))
+        if args.out:
+            Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(metrics, f, indent=2)
+        return 0
+
+    if args.command == "compare":
+        from sskd_tpu.kd.eval import KDEvaluator
+
+        kd = _tiny_student(args.kd_model, args.tiny)
+        vanilla = _tiny_student(args.vanilla_model, args.tiny)
+        q_map, corpus, qrels = _load_eval_inputs(args.data, args.max_samples)
+        ev = KDEvaluator()
+        results = {
+            "kd_student": ev.evaluate_retrieval(kd, q_map, corpus, qrels),
+            "vanilla": ev.evaluate_retrieval(vanilla, q_map, corpus, qrels),
+        }
+        report = KDEvaluator.generate_report(results, title="Model comparison")
+        print(report)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(report)
+        return 0
+
+    if args.command == "serve":
+        from sskd_tpu.serve.app import create_app
+        from sskd_tpu.serve.http import Server
+
+        app = create_app(
+            settings=settings,
+            student_model_path=args.model,
+            device=args.device,
+            preload_index_dir=args.index,
+        )
+        Server(
+            app,
+            host=args.host or settings.service.host,
+            port=args.port or settings.service.port,
+        ).run()
+        return 0
+
+    if args.command == "export":
+        from sskd_tpu.models.export import export_student_model
+
+        model = _tiny_student(args.model, tiny=False)
+        report = export_student_model(
+            model, args.out, validate=not args.skip_validate
+        )
+        print(json.dumps(report, indent=2))
+        return 0
+
+    if args.command == "config":
+        print(json.dumps(settings.model_dump(mode="json"), indent=2))
+        if args.production_audit:
+            problems = settings.validate_for_production()
+            print(json.dumps({"production_problems": problems}, indent=2))
+            return 0 if not problems else 1
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,225 @@
+"""End-to-end KD training pipeline (reference: scripts/train_kd_pipeline.py,
+7 steps — SURVEY.md section 3.1):
+
+  [1] fetch raw data (or generate the offline demo set)
+  [2] prepare: chunk to parquet (512 tokens / stride 80)
+  [3] build (or reuse) the BM25 index — reuse check fixed to test the JSON
+      persistence files, not a stale bm25.pkl (SURVEY.md 7.4)
+  [4] load teacher + student
+  [5] build queries/positives/corpus from raw JSONL (is_selected == 1)
+  [6] mine the negative curriculum (stage 1..3)
+  [7] KD training (AdamW + CombinedKDLoss under jit/pjit)
+
+Teacher scores mined in step 6 are cached to parquet so re-runs (and the
+"KD with precomputed teacher scores" config in BASELINE.json) skip the
+expensive cross-encoder pass.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from sskd_tpu.config import Settings
+from sskd_tpu.utils.logging import get_logger
+
+logger = get_logger("pipeline")
+
+
+def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
+    """Step 5: queries, positive texts/ids, and the corpus from raw JSONL
+    (reference: train_kd_pipeline.py:191-238 — positives are passages with
+    is_selected == 1; corpus ids follow {qid}_passage_{i})."""
+    from sskd_tpu.data.prepare import _iter_passages
+
+    queries: list[str] = []
+    positives: list[list[str]] = []
+    positive_ids: list[list[str]] = []
+    corpus: dict[str, str] = {}
+    with open(raw_jsonl) as f:
+        for line in f:
+            if max_samples and len(queries) >= max_samples:
+                break
+            row = json.loads(line)
+            qid = str(row.get("query_id"))
+            qtext = row.get("query", "")
+            pos_texts, pos_ids = [], []
+            for pi, (text, selected) in enumerate(_iter_passages(row)):
+                doc_id = f"{qid}_passage_{pi}"
+                corpus[doc_id] = text
+                if selected == 1:
+                    pos_texts.append(text)
+                    pos_ids.append(doc_id)
+            if pos_texts:
+                queries.append(qtext)
+                positives.append(pos_texts)
+                positive_ids.append(pos_ids)
+    return queries, positives, positive_ids, corpus
+
+
+def mined_to_samples(queries, positives, mined, corpus):
+    """Assemble KDSamples: positive first (contrastive column 0), mined
+    negatives after with teacher scores as soft labels."""
+    from sskd_tpu.kd.dataset import KDSample
+
+    samples = []
+    for query, pos_texts, negs in zip(queries, positives, mined):
+        docs = [pos_texts[0]] + [corpus[c] for c in negs.doc_ids]
+        scores = [1.0] + list(negs.scores)
+        samples.append(KDSample(query=query, docs=docs, teacher_scores=scores))
+    return samples
+
+
+def run_train_pipeline(
+    settings: Settings,
+    data_dir: str | Path = "data",
+    output_dir: str | Path | None = None,
+    dataset: str = "demo",
+    max_samples: int | None = None,
+    stage: int | None = None,
+    epochs: int | None = None,
+    use_demo_data: bool | None = None,
+    student_config=None,
+    teacher_config=None,
+    tokenizer=None,
+    mesh=None,
+) -> dict:
+    from sskd_tpu.data.demo import generate_demo_dataset
+    from sskd_tpu.data.prepare import prepare_dataset
+    from sskd_tpu.data.registry import ensure_dirs, get_chunks_path, get_raw_dir, get_raw_path
+    from sskd_tpu.kd.train import KDTrainer
+    from sskd_tpu.mining.bm25 import BM25Index
+    from sskd_tpu.mining.miners import build_mining_curriculum
+    from sskd_tpu.models import StudentModel, TeacherModel
+
+    data_dir = Path(data_dir)
+    output_dir = Path(output_dir or settings.training.output_dir)
+    stage = stage or settings.mining.stage
+    max_samples = max_samples if max_samples is not None else (
+        settings.data.max_samples or None
+    )
+    if use_demo_data is None:
+        use_demo_data = dataset == "demo"
+
+    # [1/7] fetch / generate -------------------------------------------------
+    ensure_dirs(data_dir, dataset)
+    raw_train = get_raw_path(data_dir, dataset, "train")
+    if not raw_train.exists():
+        if use_demo_data:
+            logger.info("[1/7] generating offline demo dataset")
+            generate_demo_dataset(
+                get_raw_dir(data_dir, dataset), num_samples=max_samples or 200
+            )
+        else:
+            logger.info("[1/7] fetching dataset from hub")
+            from sskd_tpu.data.fetch import fetch_msmarco
+
+            fetch_msmarco(data_dir, max_samples=max_samples)
+    else:
+        logger.info("[1/7] raw data present, skipping fetch")
+
+    # [2/7] prepare ----------------------------------------------------------
+    train_parquet = get_chunks_path(data_dir, dataset, "train")
+    if not train_parquet.exists():
+        logger.info("[2/7] preparing chunked parquet (512/80)")
+        prepare_dataset(
+            data_dir,
+            dataset=dataset,
+            max_tokens=settings.data.chunk_max_tokens,
+            stride=settings.data.chunk_stride,
+            max_samples=max_samples,
+        )
+    else:
+        logger.info("[2/7] prepared parquet present, skipping")
+
+    # [3/7] BM25 ---------------------------------------------------------------
+    bm25_dir = data_dir / "bm25" / dataset
+    if BM25Index.exists(bm25_dir):
+        logger.info("[3/7] loading persisted BM25 index")
+        bm25 = BM25Index.load(bm25_dir)
+    else:
+        logger.info("[3/7] building BM25 index")
+        bm25 = BM25Index(
+            k1=settings.mining.bm25_k1,
+            b=settings.mining.bm25_b,
+            epsilon=settings.mining.bm25_epsilon,
+        ).build_from_parquet(train_parquet)
+        bm25.save(bm25_dir)
+
+    # [4/7] models -------------------------------------------------------------
+    logger.info("[4/7] loading models")
+    student = StudentModel(
+        settings.student.model_name,
+        config=student_config,
+        tokenizer=tokenizer,
+        max_seq_length=settings.student.max_seq_length,
+        query_prefix=settings.student.query_prefix,
+        passage_prefix=settings.student.passage_prefix,
+    )
+    teacher = None
+    if stage >= 2:
+        teacher = TeacherModel(
+            settings.teacher.model_name,
+            config=teacher_config,
+            tokenizer=tokenizer,
+            max_seq_length=settings.teacher.max_seq_length,
+        )
+
+    # [5/7] training inputs ------------------------------------------------------
+    logger.info("[5/7] building queries/positives/corpus from raw JSONL")
+    queries, positives, positive_ids, corpus = build_training_inputs(
+        raw_train, max_samples
+    )
+    logger.info(f"    {len(queries)} queries, corpus {len(corpus)} passages")
+
+    # [6/7] mining (with teacher-score cache) -------------------------------------
+    cache_path = output_dir / f"mined_stage{stage}.json"
+    if cache_path.exists():
+        logger.info(f"[6/7] using cached mining results {cache_path}")
+        from sskd_tpu.mining.miners import MinedNegatives
+
+        with open(cache_path) as f:
+            raw = json.load(f)
+        mined = [MinedNegatives(doc_ids=m["doc_ids"], scores=m["scores"]) for m in raw]
+    else:
+        logger.info(f"[6/7] mining curriculum stage {stage}")
+        mined = build_mining_curriculum(
+            stage,
+            queries,
+            positives,
+            corpus,
+            bm25,
+            teacher=teacher,
+            student=student,
+            positive_ids_per_query=positive_ids,
+            bm25_top_k=settings.mining.bm25_top_k,
+            teacher_top_k=settings.mining.teacher_top_k,
+            teacher_confidence_threshold=settings.mining.teacher_confidence_threshold,
+            ance_top_k=settings.mining.ance_top_k,
+            ance_margin=settings.mining.ance_margin,
+            teacher_batch_size=settings.teacher.batch_size,
+            denoise_threshold=settings.mining.denoise_text_overlap_threshold,
+        )
+        output_dir.mkdir(parents=True, exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(
+                [{"doc_ids": m.doc_ids, "scores": m.scores} for m in mined], f
+            )
+
+    samples = mined_to_samples(queries, positives, mined, corpus)
+    n_dev = max(1, len(samples) // 10)
+    dev_samples = samples[:n_dev]
+    train_samples = samples[n_dev:] or samples
+
+    # [7/7] train ------------------------------------------------------------------
+    logger.info(f"[7/7] KD training: {len(train_samples)} train / {n_dev} dev")
+    trainer = KDTrainer(student, settings, mesh=mesh)
+    result = trainer.train(
+        train_samples,
+        dev_samples=dev_samples,
+        epochs=epochs,
+        output_dir=output_dir,
+    )
+    result["num_queries"] = len(queries)
+    result["corpus_size"] = len(corpus)
+    return result

@@ -1,0 +1,364 @@
+"""Serving application — the reference's FastAPI service rebuilt on the
+first-party HTTP stack (reference: src/serve/app.py:49-503).
+
+Surface parity:
+- routes ``/``, ``/health``, ``/ready``, ``/live``, ``POST /search``,
+  ``POST /encode``, ``POST /index/load`` (reference: app.py:221-457) plus a
+  real ``/metrics`` endpoint (the reference documented one but never wired
+  it, SURVEY.md 5.5);
+- middleware runtime order APIKey -> RateLimit -> RequestLogging ->
+  SecurityHeaders -> CORS (reference: c4-component-serving.md:7);
+- lifespan: student load is fatal, teacher load failure degrades gracefully
+  to rerank-disabled (reference: app.py:96-107); ``/ready`` returns 503
+  until models are loaded and flips off on shutdown (reference: app.py:242);
+- the index is NOT loaded at startup — it arrives via ``POST /index/load``
+  or a ``preload_index_dir`` argument (reference: app.py:407-457).
+
+TPU addition: optional MaxSim doc-level aggregation over chunk hits
+(``search.maxsim_aggregation``) — the reference's dead feature made real
+(SURVEY.md 5.7).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pydantic import ValidationError
+
+from sskd_tpu.config import Settings, get_settings
+from sskd_tpu.exceptions import SemanticKDError
+from sskd_tpu.index.builder import IndexBuilder
+from sskd_tpu.models.student import StudentModel
+from sskd_tpu.models.teacher import TeacherModel
+from sskd_tpu.serve import metrics as m
+from sskd_tpu.serve.http import App, Request, Response
+from sskd_tpu.serve.middleware import (
+    APIKeyAuth,
+    RateLimiter,
+    cors_middleware,
+    hash_query,
+    request_logging_middleware,
+    security_headers_middleware,
+)
+from sskd_tpu.serve.schemas import (
+    EncodeRequest,
+    IndexLoadRequest,
+    SearchRequest,
+    SearchResult,
+)
+from sskd_tpu.utils.chunk import maxsim_aggregate_topk
+from sskd_tpu.utils.logging import get_logger
+from sskd_tpu.version import __version__
+
+logger = get_logger("serve.app")
+
+
+class AppState:
+    """Global service state (reference: app.py:49-72)."""
+
+    def __init__(self):
+        self.student: StudentModel | None = None
+        self.teacher: TeacherModel | None = None
+        self.index_builder: IndexBuilder | None = None
+        self.settings: Settings | None = None
+        self.ready: bool = False
+
+    @property
+    def index_loaded(self) -> bool:
+        return self.index_builder is not None and self.index_builder.is_built
+
+
+def _status_for(exc: SemanticKDError) -> int:
+    from sskd_tpu import exceptions as E
+
+    if isinstance(exc, (E.ServiceNotReadyError, E.IndexNotLoadedError)):
+        return 503
+    if isinstance(exc, E.RateLimitExceededError):
+        return 429
+    if isinstance(exc, (E.AuthError,)):
+        return 401
+    if isinstance(exc, (E.ValidationError_, E.ConfigError)):
+        return 400
+    return 500
+
+
+def create_app(
+    settings: Settings | None = None,
+    student_model_path: str | None = None,
+    device: str | None = None,
+    preload_index_dir: str | None = None,
+) -> App:
+    settings = settings or get_settings()
+    if student_model_path:
+        settings = settings.model_copy(deep=True)
+        settings.student.model_name = student_model_path
+
+    app = App()
+    state = AppState()
+    state.settings = settings
+    app.state = state  # exposed for tests/embedding
+
+    # -- middlewares (added inner->outer; runtime order is APIKey first,
+    #    reference: c4-component-serving.md:7) ------------------------------
+    if settings.cors.enabled:
+        app.add_middleware(
+            cors_middleware(
+                settings.cors.allow_origins,
+                settings.cors.allow_methods,
+                settings.cors.allow_headers,
+            )
+        )
+    app.add_middleware(security_headers_middleware())
+    app.add_middleware(request_logging_middleware())
+    if settings.rate_limit.enabled:
+        limiter = RateLimiter(
+            settings.rate_limit.requests_per_minute, settings.rate_limit.burst
+        )
+        app.state.rate_limiter = limiter
+        app.add_middleware(limiter.middleware())
+    if settings.auth.enabled:
+        auth = APIKeyAuth(
+            api_key_hashes=settings.auth.api_key_hashes, salt=settings.auth.salt
+        )
+        app.state.auth = auth
+        app.add_middleware(auth.middleware())
+
+    # -- lifespan (reference: app.py:75-117) --------------------------------
+
+    def startup():
+        t0 = time.perf_counter()
+        try:
+            state.student = StudentModel(
+                settings.student.model_name,
+                device=device,
+                max_seq_length=settings.student.max_seq_length,
+                query_prefix=settings.student.query_prefix,
+                passage_prefix=settings.student.passage_prefix,
+            )
+        except Exception:
+            logger.exception("student model load failed — fatal")
+            raise
+        m.MODEL_LOAD_SECONDS.set(time.perf_counter() - t0)
+        if settings.search.rerank_enabled:
+            try:
+                state.teacher = TeacherModel(
+                    settings.teacher.model_name,
+                    device=device,
+                    max_seq_length=settings.teacher.max_seq_length,
+                )
+            except Exception:
+                # tolerated: service starts with reranking disabled
+                # (reference: app.py:101-107)
+                logger.exception("teacher load failed — reranking disabled")
+                state.teacher = None
+        if preload_index_dir:
+            state.index_builder = IndexBuilder().load(preload_index_dir)
+            m.INDEX_SIZE.set(state.index_builder.ntotal)
+        # Warmup: trigger XLA compilation of the encode (and search, when an
+        # index is preloaded) paths so the first request doesn't pay the
+        # multi-second compile (keeps the reference's p95 CI gates honest,
+        # reference: ml-pipeline.yml:324-326).
+        try:
+            warm = state.student.encode_queries(["warmup query"])
+            if state.index_loaded:
+                state.index_builder.search(warm, k=settings.search.default_k)
+        except Exception:
+            logger.exception("warmup failed (continuing)")
+        state.ready = True
+
+    def shutdown():
+        state.ready = False  # drain signal (reference: app.py:115-116)
+
+    app.on_startup.append(startup)
+    app.on_shutdown.append(shutdown)
+
+    # -- exception handlers (reference: app.py:460-482) ---------------------
+
+    def kd_error_handler(request: Request, exc: SemanticKDError) -> Response:
+        payload = exc.to_dict()
+        if settings.service.environment == "production":
+            payload.pop("details", None)  # prod hides internals
+        return Response(payload, status=_status_for(exc))
+
+    def validation_handler(request: Request, exc: ValidationError) -> Response:
+        return Response(
+            {"error": "VALIDATION_ERROR", "detail": exc.errors(include_url=False)},
+            status=422,
+        )
+
+    def bad_json_handler(request: Request, exc: Exception) -> Response:
+        return Response({"error": "invalid JSON body"}, status=422)
+
+    import json as _json
+
+    app.add_exception_handler(SemanticKDError, kd_error_handler)
+    app.add_exception_handler(ValidationError, validation_handler)
+    app.add_exception_handler(_json.JSONDecodeError, bad_json_handler)
+
+    # -- routes (reference: app.py:221-457) ---------------------------------
+
+    @app.get("/")
+    async def root(request: Request) -> Response:
+        return Response(
+            {
+                "service": "sskd-tpu semantic search",
+                "version": __version__,
+                "environment": settings.service.environment,
+                "endpoints": [
+                    "/health",
+                    "/ready",
+                    "/live",
+                    "/search",
+                    "/encode",
+                    "/index/load",
+                    "/metrics",
+                ],
+            }
+        )
+
+    @app.get("/health")
+    async def health(request: Request) -> Response:
+        return Response(
+            {
+                "status": "healthy" if state.ready else "starting",
+                "model_loaded": state.student is not None,
+                "index_loaded": state.index_loaded,
+                "index_size": state.index_builder.ntotal if state.index_loaded else 0,
+                "version": __version__,
+            }
+        )
+
+    @app.get("/ready")
+    async def ready(request: Request) -> Response:
+        if not state.ready:
+            return Response({"ready": False}, status=503)
+        return Response({"ready": True})
+
+    @app.get("/live")
+    async def live(request: Request) -> Response:
+        return Response({"alive": True})
+
+    @app.get("/metrics")
+    async def metrics_route(request: Request) -> Response:
+        return Response(
+            m.render(), media_type="text/plain; version=0.0.4; charset=utf-8"
+        )
+
+    @app.post("/search")
+    async def search(request: Request) -> Response:
+        t_start = time.perf_counter()
+        body = SearchRequest.model_validate(request.json())
+        if not state.ready or state.student is None:
+            return Response({"error": "service not ready"}, status=503)
+        if not state.index_loaded:
+            # reference behavior: 503 until an index is loaded
+            # (reference: app.py:279-283)
+            return Response({"error": "index not loaded"}, status=503)
+
+        t0 = time.perf_counter()
+        q_emb = state.student.encode_queries([body.query])
+        m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
+
+        fetch_k = body.rerank_top_k if body.rerank else body.k
+        use_maxsim = settings.search.maxsim_aggregation
+        chunk_k = min(
+            fetch_k * 4 if use_maxsim else fetch_k, state.index_builder.ntotal
+        )
+        t0 = time.perf_counter()
+        scores, indices = state.index_builder.search(q_emb, k=chunk_k)
+        m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
+
+        idx_row = [int(i) for i in indices[0] if i >= 0]
+        score_row = [float(s) for s, i in zip(scores[0], indices[0]) if i >= 0]
+        doc_ids = [state.index_builder.doc_ids[i] for i in idx_row]
+        texts = state.index_builder.get_texts(idx_row)
+
+        if use_maxsim:
+            # doc-level MaxSim over chunk hits (SURVEY.md 5.7, live feature)
+            text_by_doc = {d: t for d, t in zip(doc_ids, texts)}
+            agg_scores, agg_ids = maxsim_aggregate_topk(score_row, doc_ids, fetch_k)
+            doc_ids = list(agg_ids)
+            score_row = [float(s) for s in agg_scores]
+            texts = [text_by_doc.get(d) for d in doc_ids]
+
+        results = [
+            SearchResult(doc_id=d, text=t, score=s, rank=r + 1)
+            for r, (d, t, s) in enumerate(zip(doc_ids, texts, score_row))
+        ]
+
+        reranked = False
+        if body.rerank:
+            m.RERANK_TRIGGERS.inc()
+            if state.teacher is not None:
+                t0 = time.perf_counter()
+                pairs = [(body.query, r.text or r.doc_id) for r in results]
+                t_scores = state.teacher.score(
+                    pairs, batch_size=settings.teacher.batch_size
+                )
+                m.RERANK_LATENCY.observe(time.perf_counter() - t0)
+                order = sorted(
+                    range(len(results)), key=lambda i: -t_scores[i]
+                )
+                results = [
+                    SearchResult(
+                        doc_id=results[i].doc_id,
+                        text=results[i].text,
+                        score=float(t_scores[i]),
+                        rank=r + 1,
+                    )
+                    for r, i in enumerate(order)
+                ]
+                reranked = True
+
+        results = results[: body.k]
+        latency_ms = (time.perf_counter() - t_start) * 1000.0
+        logger.info(
+            f"search qhash={hash_query(body.query)} k={body.k} "
+            f"rerank={reranked} latency_ms={latency_ms:.1f}"
+        )
+        return Response(
+            {
+                "query": body.query,
+                "results": [r.model_dump() for r in results],
+                "total_results": len(results),
+                "reranked": reranked,
+                "latency_ms": latency_ms,
+            }
+        )
+
+    @app.post("/encode")
+    async def encode(request: Request) -> Response:
+        t_start = time.perf_counter()
+        body = EncodeRequest.model_validate(request.json())
+        if not state.ready or state.student is None:
+            return Response({"error": "service not ready"}, status=503)
+        t0 = time.perf_counter()
+        emb = state.student.encode(body.texts, normalize=body.normalize)
+        m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
+        return Response(
+            {
+                "embeddings": emb.tolist(),
+                "dimension": int(emb.shape[1]),
+                "num_texts": int(emb.shape[0]),
+                "latency_ms": (time.perf_counter() - t_start) * 1000.0,
+            }
+        )
+
+    @app.post("/index/load")
+    async def index_load(request: Request) -> Response:
+        body = IndexLoadRequest.model_validate(request.json())
+        index_dir = Path(body.index_dir)
+        if not index_dir.is_dir():
+            return Response(
+                {"error": f"index dir not found: {index_dir}"}, status=400
+            )
+        builder = IndexBuilder()
+        builder.load(index_dir)
+        state.index_builder = builder
+        m.INDEX_SIZE.set(builder.ntotal)
+        return Response(
+            {"loaded": True, "index_size": builder.ntotal, "dir": str(index_dir)}
+        )
+
+    return app

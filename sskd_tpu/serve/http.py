@@ -1,0 +1,336 @@
+"""First-party async HTTP/1.1 micro-framework.
+
+The reference served through FastAPI/uvicorn (reference: src/serve/app.py);
+neither is available here, so the framework ships its own dependency-free
+stack with the same shape: route table, middleware chain (request ->
+handler -> response, outermost added last like Starlette), JSON
+request/response models validated by pydantic, exception handlers, and an
+in-process TestClient mirroring the reference's endpoint-test strategy
+(reference: tests/conftest.py:228-239).
+
+Scope: HTTP/1.1, JSON bodies, keep-alive, content-length framing (no
+chunked uploads — the API only receives small JSON).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import urllib.parse
+from typing import Any, Awaitable, Callable
+
+from sskd_tpu.utils.logging import get_logger
+
+logger = get_logger("serve.http")
+
+MAX_BODY_BYTES = 10 * 1024 * 1024
+MAX_HEADER_BYTES = 64 * 1024
+
+STATUS_PHRASES = {
+    200: "OK",
+    204: "No Content",
+    400: "Bad Request",
+    401: "Unauthorized",
+    403: "Forbidden",
+    404: "Not Found",
+    405: "Method Not Allowed",
+    409: "Conflict",
+    413: "Payload Too Large",
+    422: "Unprocessable Entity",
+    429: "Too Many Requests",
+    500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+
+class Request:
+    def __init__(
+        self,
+        method: str,
+        path: str,
+        headers: dict[str, str] | None = None,
+        body: bytes = b"",
+        client: str = "127.0.0.1",
+        query: dict[str, str] | None = None,
+    ):
+        self.method = method.upper()
+        self.path = path
+        self.headers = {k.lower(): v for k, v in (headers or {}).items()}
+        self.body = body
+        self.client = client
+        self.query = query or {}
+        self.state: dict[str, Any] = {}
+
+    def json(self) -> Any:
+        if not self.body:
+            return None
+        return json.loads(self.body)
+
+
+class Response:
+    def __init__(
+        self,
+        content: Any = None,
+        status: int = 200,
+        headers: dict[str, str] | None = None,
+        media_type: str = "application/json",
+    ):
+        self.status = status
+        self.headers = dict(headers or {})
+        self.media_type = media_type
+        if content is None:
+            self.body = b""
+        elif isinstance(content, bytes):
+            self.body = content
+        elif isinstance(content, str):
+            self.body = content.encode()
+            if media_type == "application/json":
+                self.media_type = "text/plain; charset=utf-8"
+        else:
+            self.body = json.dumps(content).encode()
+
+    def json(self) -> Any:
+        return json.loads(self.body) if self.body else None
+
+    @property
+    def status_code(self) -> int:  # requests/httpx-style alias for tests
+        return self.status
+
+    def encode(self) -> bytes:
+        phrase = STATUS_PHRASES.get(self.status, "Unknown")
+        headers = {
+            "content-type": self.media_type,
+            "content-length": str(len(self.body)),
+            **{k.lower(): v for k, v in self.headers.items()},
+        }
+        head = f"HTTP/1.1 {self.status} {phrase}\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in headers.items()
+        )
+        return head.encode() + b"\r\n" + self.body
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+Middleware = Callable[[Request, Handler], Awaitable[Response]]
+
+
+class App:
+    """Route table + middleware chain + exception handlers."""
+
+    def __init__(self):
+        self._routes: dict[tuple[str, str], Handler] = {}
+        self._middleware: list[Middleware] = []
+        self._exception_handlers: list[tuple[type, Callable]] = []
+        self.on_startup: list[Callable] = []
+        self.on_shutdown: list[Callable] = []
+        self._started = False
+
+    def route(self, method: str, path: str):
+        def deco(fn: Handler) -> Handler:
+            self._routes[(method.upper(), path)] = fn
+            return fn
+
+        return deco
+
+    def get(self, path: str):
+        return self.route("GET", path)
+
+    def post(self, path: str):
+        return self.route("POST", path)
+
+    def add_middleware(self, mw: Middleware) -> None:
+        """Outermost-added-last, matching Starlette/FastAPI semantics the
+        reference relied on (reference: src/serve/app.py:169-205 order)."""
+        self._middleware.append(mw)
+
+    def add_exception_handler(self, exc_type: type, handler: Callable) -> None:
+        self._exception_handlers.append((exc_type, handler))
+
+    async def startup(self) -> None:
+        if self._started:
+            return
+        for fn in self.on_startup:
+            result = fn()
+            if asyncio.iscoroutine(result):
+                await result
+        self._started = True
+
+    async def shutdown(self) -> None:
+        for fn in self.on_shutdown:
+            result = fn()
+            if asyncio.iscoroutine(result):
+                await result
+        self._started = False
+
+    # ------------------------------------------------------------------
+
+    async def _dispatch(self, request: Request) -> Response:
+        handler = self._routes.get((request.method, request.path))
+        if handler is None:
+            if any(p == request.path for (_, p) in self._routes):
+                return Response({"error": "method not allowed"}, status=405)
+            return Response({"error": "not found"}, status=404)
+        return await handler(request)
+
+    async def handle(self, request: Request) -> Response:
+        endpoint: Handler = self._dispatch
+        for mw in self._middleware:  # last added runs outermost
+            endpoint = _wrap(mw, endpoint)
+        try:
+            return await endpoint(request)
+        except Exception as exc:  # noqa: BLE001 — boundary
+            for exc_type, handler in self._exception_handlers:
+                if isinstance(exc, exc_type):
+                    result = handler(request, exc)
+                    if asyncio.iscoroutine(result):
+                        result = await result
+                    return result
+            logger.exception(f"unhandled error on {request.method} {request.path}")
+            return Response({"error": "internal server error"}, status=500)
+
+
+def _wrap(mw: Middleware, nxt: Handler) -> Handler:
+    async def run(request: Request) -> Response:
+        return await mw(request, nxt)
+
+    return run
+
+
+class TestClient:
+    """In-process client driving the app without sockets (reference
+    endpoint-test strategy: tests/conftest.py:228-239 used Starlette's)."""
+
+    __test__ = False  # not a pytest test class
+
+    def __init__(self, app: App, client: str = "testclient"):
+        self.app = app
+        self.client = client
+        self._loop = asyncio.new_event_loop()
+        self._loop.run_until_complete(app.startup())
+
+    def request(
+        self,
+        method: str,
+        path: str,
+        json_body: Any = None,
+        headers: dict[str, str] | None = None,
+        body: bytes | None = None,
+    ) -> Response:
+        if json_body is not None:
+            body = json.dumps(json_body).encode()
+            headers = {**(headers or {}), "content-type": "application/json"}
+        if "?" in path:
+            path, _, qs = path.partition("?")
+            query = dict(urllib.parse.parse_qsl(qs))
+        else:
+            query = {}
+        req = Request(
+            method, path, headers=headers, body=body or b"", client=self.client, query=query
+        )
+        return self._loop.run_until_complete(self.app.handle(req))
+
+    def get(self, path: str, **kw) -> Response:
+        return self.request("GET", path, **kw)
+
+    def post(self, path: str, **kw) -> Response:
+        return self.request("POST", path, **kw)
+
+    def close(self) -> None:
+        self._loop.run_until_complete(self.app.shutdown())
+        self._loop.close()
+
+
+class Server:
+    """asyncio socket server for the App."""
+
+    def __init__(self, app: App, host: str = "0.0.0.0", port: int = 8000):
+        self.app = app
+        self.host = host
+        self.port = port
+        self._server: asyncio.AbstractServer | None = None
+
+    async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
+        try:
+            head = await reader.readuntil(b"\r\n\r\n")
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            return None
+        except asyncio.LimitOverrunError:
+            raise ValueError("headers too large")
+        if len(head) > MAX_HEADER_BYTES:
+            raise ValueError("headers too large")
+        lines = head.decode("latin-1").split("\r\n")
+        try:
+            method, target, _version = lines[0].split(" ", 2)
+        except ValueError:
+            raise ValueError("malformed request line")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            if not line:
+                continue
+            key, _, value = line.partition(":")
+            headers[key.strip().lower()] = value.strip()
+        length = int(headers.get("content-length", "0") or "0")
+        if length > MAX_BODY_BYTES:
+            raise ValueError("body too large")
+        body = await reader.readexactly(length) if length else b""
+        parsed = urllib.parse.urlsplit(target)
+        query = dict(urllib.parse.parse_qsl(parsed.query))
+        return Request(method, parsed.path, headers=headers, body=body, query=query)
+
+    async def _handle_conn(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        peer = writer.get_extra_info("peername")
+        client = peer[0] if peer else "unknown"
+        try:
+            while True:
+                try:
+                    request = await self._read_request(reader)
+                except ValueError as e:
+                    writer.write(Response({"error": str(e)}, status=400).encode())
+                    await writer.drain()
+                    break
+                except asyncio.IncompleteReadError:
+                    break
+                if request is None:
+                    break
+                request.client = client
+                response = await self.app.handle(request)
+                keep_alive = (
+                    request.headers.get("connection", "keep-alive").lower()
+                    != "close"
+                )
+                response.headers.setdefault(
+                    "connection", "keep-alive" if keep_alive else "close"
+                )
+                writer.write(response.encode())
+                await writer.drain()
+                if not keep_alive:
+                    break
+        except ConnectionResetError:
+            pass
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except (ConnectionResetError, BrokenPipeError):
+                pass
+
+    async def serve(self) -> None:
+        await self.app.startup()
+        self._server = await asyncio.start_server(
+            self._handle_conn, self.host, self.port
+        )
+        logger.info(f"serving on http://{self.host}:{self.port}")
+        async with self._server:
+            await self._server.serve_forever()
+
+    def run(self) -> None:
+        try:
+            asyncio.run(self.serve())
+        except KeyboardInterrupt:  # pragma: no cover
+            logger.info("shutting down")
+
+
+def now_ms() -> float:
+    return time.perf_counter() * 1000.0

@@ -1,0 +1,316 @@
+"""Serving tests (model: reference tests/test_api.py + the middleware parts
+of tests/test_hardening.py — token-bucket math, per-client isolation,
+thread-safety hammer, bucket-cap eviction, salted key hashing, endpoint
+happy/4xx paths, CORS preflight, security headers, and the /metrics endpoint
+the reference never implemented)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import sskd_tpu.serve.app as app_module
+from sskd_tpu.config import Settings
+from sskd_tpu.serve.http import Request, TestClient
+from sskd_tpu.serve.middleware import APIKeyAuth, RateLimiter, TokenBucket, hash_query
+
+
+class TestTokenBucket:
+    def test_burst_capacity(self):
+        b = TokenBucket(rate_per_minute=60, burst=3)
+        assert b.consume() and b.consume() and b.consume()
+        assert not b.consume()
+
+    def test_refill(self):
+        b = TokenBucket(rate_per_minute=6000, burst=1)  # 100/s
+        assert b.consume()
+        assert not b.consume()
+        time.sleep(0.02)
+        assert b.consume()
+
+    def test_time_until_available(self):
+        b = TokenBucket(rate_per_minute=60, burst=1)
+        b.consume()
+        t = b.time_until_available()
+        assert 0.0 < t <= 1.0
+
+
+class TestRateLimiter:
+    def _req(self, path="/search", client="1.2.3.4", headers=None):
+        return Request("POST", path, headers=headers, client=client)
+
+    def test_burst_enforced(self):
+        rl = RateLimiter(requests_per_minute=60, burst=2)
+        assert rl.check(self._req())[0]
+        assert rl.check(self._req())[0]
+        allowed, retry = rl.check(self._req())
+        assert not allowed and retry > 0
+
+    def test_per_client_isolation(self):
+        rl = RateLimiter(requests_per_minute=60, burst=1)
+        assert rl.check(self._req(client="a"))[0]
+        assert not rl.check(self._req(client="a"))[0]
+        assert rl.check(self._req(client="b"))[0]
+
+    def test_x_forwarded_for_first_hop(self):
+        rl = RateLimiter(requests_per_minute=60, burst=1)
+        headers = {"x-forwarded-for": "9.9.9.9, 8.8.8.8"}
+        assert rl.client_key(self._req(headers=headers)) == "9.9.9.9"
+
+    def test_excluded_paths_never_limited(self):
+        rl = RateLimiter(requests_per_minute=60, burst=1)
+        for _ in range(10):
+            assert rl.check(self._req(path="/health"))[0]
+
+    def test_thread_safety_hammer(self):
+        # 10 threads x 20 requests (reference: test_hardening.py:141-190)
+        rl = RateLimiter(requests_per_minute=60, burst=50)
+        allowed_count = []
+        lock = threading.Lock()
+
+        def worker(cid):
+            local = 0
+            for _ in range(20):
+                if rl.check(self._req(client=f"c{cid}"))[0]:
+                    local += 1
+            with lock:
+                allowed_count.append(local)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(allowed_count) == 10
+        assert all(c == 20 for c in allowed_count)  # burst 50 > 20 per client
+
+    def test_bucket_cap_eviction(self):
+        rl = RateLimiter(requests_per_minute=60, burst=1)
+        rl.MAX_BUCKETS = 5
+        for i in range(8):
+            rl.check(self._req(client=f"client{i}"))
+        assert len(rl._buckets) <= 5
+
+
+class TestAPIKeyAuth:
+    def test_add_verify_remove(self):
+        auth = APIKeyAuth()
+        auth.add_key("sk_live_test123")
+        assert auth.verify("sk_live_test123")
+        assert not auth.verify("wrong")
+        auth.remove_key("sk_live_test123")
+        assert not auth.verify("sk_live_test123")
+
+    def test_salted_pbkdf2(self):
+        plain = APIKeyAuth.hash_key("k")
+        salted = APIKeyAuth.hash_key("k", salt="pepper")
+        assert plain != salted
+        auth = APIKeyAuth(api_keys=["k"], salt="pepper")
+        assert auth.verify("k")
+
+    def test_env_hashes(self, monkeypatch):
+        import json
+
+        h = APIKeyAuth.hash_key("envkey")
+        monkeypatch.setenv("SEMANTIC_KD_API_KEY_HASHES", json.dumps([h]))
+        auth = APIKeyAuth()
+        assert auth.verify("envkey")
+
+    def test_empty_keyset_rejects(self):
+        assert not APIKeyAuth().verify("anything")
+
+
+def test_hash_query_sha256_prefix():
+    h = hash_query("secret query")
+    assert len(h) == 12
+    import hashlib
+
+    assert h == hashlib.sha256(b"secret query").hexdigest()[:12]
+
+
+# ---------------------------------------------------------------------------
+# Endpoint tests via TestClient with patched models
+# (reference: tests/conftest.py:228-239)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def client(monkeypatch, fake_student, fake_teacher, temp_index_dir):
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: fake_teacher)
+    settings = Settings.model_validate({"search": {"rerank_enabled": True}})
+    app = app_module.create_app(settings=settings)
+    tc = TestClient(app)
+    yield tc
+    tc.close()
+
+
+class TestEndpoints:
+    def test_root_info(self, client):
+        r = client.get("/")
+        assert r.status == 200
+        assert "/search" in r.json()["endpoints"]
+
+    def test_health(self, client):
+        r = client.get("/health")
+        body = r.json()
+        assert r.status == 200
+        assert body["status"] == "healthy"
+        assert body["model_loaded"] is True
+        assert body["index_loaded"] is False
+
+    def test_ready_live(self, client):
+        assert client.get("/ready").status == 200
+        assert client.get("/live").status == 200
+
+    def test_encode_happy(self, client):
+        r = client.post("/encode", json_body={"texts": ["hello", "world"]})
+        assert r.status == 200
+        body = r.json()
+        assert body["dimension"] == 384
+        assert body["num_texts"] == 2
+        assert len(body["embeddings"]) == 2
+        assert body["latency_ms"] >= 0
+
+    def test_encode_validation_422(self, client):
+        assert client.post("/encode", json_body={"texts": []}).status == 422
+        assert client.post("/encode", json_body={}).status == 422
+        r = client.post("/encode", body=b"not json{", headers={"content-type": "application/json"})
+        assert r.status == 422
+
+    def test_search_503_without_index(self, client):
+        r = client.post("/search", json_body={"query": "anything", "k": 3})
+        assert r.status == 503
+
+    def test_index_load_then_search(self, client, temp_index_dir):
+        r = client.post("/index/load", json_body={"index_dir": str(temp_index_dir)})
+        assert r.status == 200
+        assert r.json()["index_size"] == 10
+        r = client.post("/search", json_body={"query": "machine learning", "k": 3})
+        assert r.status == 200
+        body = r.json()
+        assert body["total_results"] == 3
+        assert body["reranked"] is False
+        ranks = [x["rank"] for x in body["results"]]
+        assert ranks == [1, 2, 3]
+        scores = [x["score"] for x in body["results"]]
+        assert scores == sorted(scores, reverse=True)
+        assert body["results"][0]["text"] is not None
+
+    def test_search_rerank(self, client, temp_index_dir):
+        client.post("/index/load", json_body={"index_dir": str(temp_index_dir)})
+        r = client.post(
+            "/search",
+            json_body={"query": "neural nets", "k": 2, "rerank": True, "rerank_top_k": 5},
+        )
+        assert r.status == 200
+        body = r.json()
+        assert body["reranked"] is True
+        assert body["total_results"] == 2
+
+    def test_index_load_missing_dir(self, client):
+        r = client.post("/index/load", json_body={"index_dir": "/nope/nothing"})
+        assert r.status == 400
+
+    def test_search_validation(self, client):
+        assert client.post("/search", json_body={"query": ""}).status == 422
+        assert client.post("/search", json_body={"query": "x", "k": 0}).status == 422
+        assert client.post("/search", json_body={"query": "x", "k": 999}).status == 422
+
+    def test_404_and_405(self, client):
+        assert client.get("/nonexistent").status == 404
+        assert client.get("/search").status == 405
+
+    def test_security_headers(self, client):
+        r = client.get("/health")
+        assert r.headers["X-Content-Type-Options"] == "nosniff"
+        assert r.headers["X-Frame-Options"] == "DENY"
+        assert "Content-Security-Policy" in r.headers
+
+    def test_cors_preflight(self, client):
+        r = client.request("OPTIONS", "/search", headers={"origin": "http://x.test"})
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+    def test_metrics_endpoint(self, client):
+        client.get("/health")
+        r = client.get("/metrics")
+        assert r.status == 200
+        assert b"semantic_kd_requests_total" in r.body
+
+
+class TestAuthAndRateLimitIntegration:
+    def test_api_key_required(self, monkeypatch, fake_student):
+        monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+        key = "sk_live_secret"
+        settings = Settings.model_validate(
+            {"auth": {"enabled": True, "api_key_hashes": [APIKeyAuth.hash_key(key)]}}
+        )
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            r = tc.post("/encode", json_body={"texts": ["x"]})
+            assert r.status == 401
+            assert r.headers["WWW-Authenticate"] == "ApiKey"
+            r = tc.post(
+                "/encode", json_body={"texts": ["x"]}, headers={"x-api-key": key}
+            )
+            assert r.status == 200
+            assert tc.get("/health").status == 200  # excluded path
+        finally:
+            tc.close()
+
+    def test_rate_limit_429(self, monkeypatch, fake_student):
+        monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+        settings = Settings.model_validate(
+            {"rate_limit": {"enabled": True, "requests_per_minute": 60, "burst": 2}}
+        )
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            assert tc.post("/encode", json_body={"texts": ["a"]}).status == 200
+            assert tc.post("/encode", json_body={"texts": ["a"]}).status == 200
+            r = tc.post("/encode", json_body={"texts": ["a"]})
+            assert r.status == 429
+            assert float(r.headers["Retry-After"]) > 0
+        finally:
+            tc.close()
+
+    def test_teacher_failure_degrades_gracefully(self, monkeypatch, fake_student):
+        monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+
+        def boom(*a, **k):
+            raise RuntimeError("no teacher weights")
+
+        monkeypatch.setattr(app_module, "TeacherModel", boom)
+        settings = Settings.model_validate({"search": {"rerank_enabled": True}})
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            assert tc.get("/ready").status == 200  # still starts
+            assert tc.app.state.teacher is None
+        finally:
+            tc.close()
+
+
+def test_maxsim_aggregation_route(monkeypatch, fake_student, tmp_path):
+    """Chunks of the same doc collapse to one doc-level result."""
+    from sskd_tpu.index.builder import IndexBuilder
+
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    emb = fake_student.encode_documents([f"chunk {i}" for i in range(6)])
+    # 3 docs x 2 chunks
+    ids = ["docA", "docA", "docB", "docB", "docC", "docC"]
+    b = IndexBuilder(embedding_dim=384)
+    b.build_from_arrays(emb, ids, texts=[f"text {i}" for i in range(6)])
+    b.save(tmp_path / "idx")
+
+    settings = Settings.model_validate({"search": {"maxsim_aggregation": True}})
+    tc = TestClient(app_module.create_app(settings=settings))
+    try:
+        tc.post("/index/load", json_body={"index_dir": str(tmp_path / "idx")})
+        r = tc.post("/search", json_body={"query": "q", "k": 3})
+        body = r.json()
+        returned = [x["doc_id"] for x in body["results"]]
+        assert len(returned) == len(set(returned))  # no duplicate docs
+        assert set(returned) <= {"docA", "docB", "docC"}
+    finally:
+        tc.close()
