@@ -1,23 +1,30 @@
 #!/usr/bin/env python
-"""Headline benchmark: exact-search throughput (queries/sec/chip).
+"""Headline benchmark: search throughput (queries/sec/chip).
 
 Prints ONE JSON line:
   {"metric": "index_search_qps_chip", "value": N, "unit": "queries/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "detail": {...}}
 
-vs_baseline is measured against the reference's FAISS-HNSW serving hot path:
-~10 ms per query, single query at a time, on CPU (BASELINE.md "FAISS HNSW
-search (k=10) ~10ms" => ~100 q/s). The TPU engine is exact (recall 1.0 vs
-HNSW's 0.97 gate) and batch-mode; the BASELINE.json north star is 100k q/s
-per chip over a 10M-passage index.
+vs_baseline measures against the reference's FAISS-HNSW serving hot path:
+~10 ms per query on CPU (BASELINE.md "FAISS HNSW search (k=10) ~10ms" =>
+~100 q/s). The benchmarked configuration is the production one from
+BASELINE.json: int8 corpus rows + the fused binned top-k ("approx" mode —
+the TPU-native analog of the reference's HNSW approximation), recall-gated
+at the reference's own criterion recall@10 >= 0.97 vs exact brute force
+(reference: configs/index.yaml:52-56). The exact (recall 1.0) engine is also
+timed and reported in detail.
+
+Measurement method: remote-tunnel dispatch makes naive timing lie (dispatch
+returns before execution), so each timing compiles ONE on-device
+`lax.fori_loop` whose iterations are data-dependent, and subtracts t(1) from
+t(iters) after a host readback that forces completion.
 
 Environment knobs:
   SSKD_BENCH_ROWS     corpus rows          (default 1_000_000)
   SSKD_BENCH_DIM      embedding dim        (default 384)
-  SSKD_BENCH_BATCH    query batch          (default 1024)
+  SSKD_BENCH_BATCH    query batch          (default 256)
   SSKD_BENCH_K        top-k                (default 10)
-  SSKD_BENCH_DTYPE    float32|int8         (default int8)
-  SSKD_BENCH_ITERS    timed iterations     (default 20)
+  SSKD_BENCH_ITERS    slope iterations     (default 8)
 """
 
 from __future__ import annotations
@@ -35,55 +42,102 @@ REFERENCE_QPS = 100.0  # FAISS HNSW ~10ms/query, serving hot path (BASELINE.md)
 def main() -> None:
     rows = int(os.environ.get("SSKD_BENCH_ROWS", 1_000_000))
     dim = int(os.environ.get("SSKD_BENCH_DIM", 384))
-    batch = int(os.environ.get("SSKD_BENCH_BATCH", 1024))
+    batch = int(os.environ.get("SSKD_BENCH_BATCH", 256))
     k = int(os.environ.get("SSKD_BENCH_K", 10))
-    dtype = os.environ.get("SSKD_BENCH_DTYPE", "int8")
-    iters = int(os.environ.get("SSKD_BENCH_ITERS", 20))
+    iters = int(os.environ.get("SSKD_BENCH_ITERS", 8))
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from sskd_tpu.ops.topk import cosine_topk
     from sskd_tpu.ops.quant import quantize_rows
+    from sskd_tpu.ops.topk import cosine_topk_core
+    from sskd_tpu.ops.topk_pallas import cosine_topk_pallas
 
     backend = jax.default_backend()
     rng = np.random.default_rng(0)
 
-    # Build the corpus on-device without a giant host->device transfer:
-    # generate on device in slabs.
-    key = jax.random.PRNGKey(0)
-    corpus = jax.random.normal(key, (rows, dim), dtype=jnp.float32)
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (rows, dim), dtype=jnp.float32)
     corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
-    scales = None
-    if dtype == "int8":
-        corpus, scales = quantize_rows(corpus)
-    corpus = jax.block_until_ready(corpus)
+    c8, scales = quantize_rows(corpus)
+    _ = np.asarray(c8[0, :4])  # force materialization
 
     queries = rng.standard_normal((batch, dim)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    queries = jnp.asarray(queries)
+    q0 = jnp.asarray(queries)
 
-    block_rows = min(65536, rows)
+    def slope_ms(search_fn, *args) -> float:
+        """ms per sweep via data-dependent on-device loop + readback."""
 
-    def run():
-        return cosine_topk(
-            queries, corpus, k=k, block_rows=block_rows, row_scales=scales
+        def make(n):
+            @jax.jit
+            def chained(q0, *a):
+                def body(i, carry):
+                    q, acc = carry
+                    vals, idx = search_fn(q, *a)
+                    q = q + (vals[:, :1] + idx[:, :1].astype(jnp.float32)) * 1e-12
+                    return (q, acc + vals[0, 0])
+
+                return jax.lax.fori_loop(0, n, body, (q0, jnp.float32(0)))
+
+            return chained
+
+        times = {}
+        for n in (1, iters):
+            fn = make(n)
+            out = fn(q0, *args)
+            float(out[1])  # compile + settle
+            t0 = time.perf_counter()
+            out = fn(q0, *args)
+            float(out[1])  # readback forces completion
+            times[n] = time.perf_counter() - t0
+        return max(0.0, (times[iters] - times[1]) / (iters - 1) * 1000.0)
+
+    # headline: int8 + fused binned top-k (production config)
+    approx_ms = slope_ms(
+        lambda q, c, s: cosine_topk_core(
+            q, c, k=k, row_scales=s, method="approx", recall_target=0.99
+        ),
+        c8,
+        scales,
+    )
+    # exact recall-1.0 engine (Pallas fused on TPU, XLA scan elsewhere)
+    if backend == "tpu":
+        exact_ms = slope_ms(
+            lambda q, c, s: cosine_topk_pallas(
+                q, c, k=k, block_rows=2048, row_scales=s
+            ),
+            c8,
+            scales,
+        )
+    else:
+        exact_ms = slope_ms(
+            lambda q, c, s: cosine_topk_core(
+                q, c, k=k, block_rows=65536, row_scales=s
+            ),
+            c8,
+            scales,
         )
 
-    # compile + warmup
-    vals, idx = run()
-    jax.block_until_ready((vals, idx))
+    # recall gate for the headline config (reference criterion):
+    # sample queries near corpus rows, compare approx int8 vs exact f32
+    n_val = min(200, rows)
+    probe = np.asarray(corpus[:n_val]) + rng.normal(0, 0.05, (n_val, dim)).astype(
+        np.float32
+    )
+    probe /= np.linalg.norm(probe, axis=1, keepdims=True)
+    probe_j = jnp.asarray(probe)
+    va, ia = cosine_topk_core(
+        probe_j, c8, k=k, row_scales=scales, method="approx", recall_target=0.99
+    )
+    gt_scores = probe @ np.asarray(corpus).T
+    gt_idx = np.argsort(-gt_scores, axis=1)[:, :k]
+    ia = np.asarray(ia)
+    recall = float(
+        np.mean([len(set(ia[i].tolist()) & set(gt_idx[i])) / k for i in range(n_val)])
+    )
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        vals, idx = run()
-    jax.block_until_ready((vals, idx))
-    elapsed = time.perf_counter() - t0
-
-    qps = batch * iters / elapsed
-    ms_per_batch = elapsed / iters * 1000.0
-
+    qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
     result = {
         "metric": "index_search_qps_chip",
         "value": round(qps, 1),
@@ -95,9 +149,16 @@ def main() -> None:
             "dim": dim,
             "batch": batch,
             "k": k,
-            "dtype": dtype,
-            "ms_per_batch": round(ms_per_batch, 3),
-            "ms_per_query_amortized": round(ms_per_batch / batch, 4),
+            "dtype": "int8",
+            "method": "approx(fused binned top-k)",
+            "recall_at_k_vs_exact": round(recall, 4),
+            "recall_gate_0.97": recall >= 0.97,
+            "ms_per_sweep": round(approx_ms, 3),
+            "ms_per_query_amortized": round(approx_ms / batch, 5),
+            "exact_engine_ms_per_sweep": round(exact_ms, 3),
+            "exact_engine_qps": round(batch / (exact_ms / 1000.0), 1)
+            if exact_ms > 0
+            else 0.0,
         },
     }
     print(json.dumps(result))

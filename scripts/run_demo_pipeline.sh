@@ -12,6 +12,12 @@ EPOCHS=${EPOCHS:-2}
 BATCH=${BATCH:-4}
 STAGE=${STAGE:-1}
 WORK=${WORK:-artifacts/demo}
+# tiny demo model + few steps need a demo-scale learning rate; the
+# production default (2e-5) moves weights invisibly in 2 epochs
+export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.005}
+# the demo teacher is untrained (zero-egress host): its confidences sit at
+# ~0.5, so the production threshold (0.6) would filter every negative
+export SEMANTIC_KD_MINING__TEACHER_CONFIDENCE_THRESHOLD=${TEACHER_CONF:-0.0}
 
 run() { python -m sskd_tpu.cli.main "$@"; }
 

@@ -132,18 +132,33 @@ def run_train_pipeline(
     else:
         logger.info("[2/7] prepared parquet present, skipping")
 
-    # [3/7] BM25 ---------------------------------------------------------------
+    # [5/7 first] training inputs — the corpus defines the mining id space
+    logger.info("[5/7] building queries/positives/corpus from raw JSONL")
+    queries, positives, positive_ids, corpus = build_training_inputs(
+        raw_train, max_samples
+    )
+    logger.info(f"    {len(queries)} queries, corpus {len(corpus)} passages")
+
+    # [3/7] BM25 over the SAME passage-id space the miners look up texts in
+    # (building it over the chunk parquet would emit chunk ids the teacher/
+    # ANCE miners can't resolve -> zero negatives)
     bm25_dir = data_dir / "bm25" / dataset
     if BM25Index.exists(bm25_dir):
         logger.info("[3/7] loading persisted BM25 index")
         bm25 = BM25Index.load(bm25_dir)
+        if set(bm25.doc_ids) != set(corpus):
+            logger.warning("persisted BM25 id space is stale — rebuilding")
+            bm25 = None
     else:
-        logger.info("[3/7] building BM25 index")
+        bm25 = None
+    if bm25 is None:
+        logger.info("[3/7] building BM25 index over the passage corpus")
+        ids = list(corpus.keys())
         bm25 = BM25Index(
             k1=settings.mining.bm25_k1,
             b=settings.mining.bm25_b,
             epsilon=settings.mining.bm25_epsilon,
-        ).build_from_parquet(train_parquet)
+        ).build([corpus[i] for i in ids], ids)
         bm25.save(bm25_dir)
 
     # [4/7] models -------------------------------------------------------------
@@ -164,13 +179,6 @@ def run_train_pipeline(
             tokenizer=tokenizer,
             max_seq_length=settings.teacher.max_seq_length,
         )
-
-    # [5/7] training inputs ------------------------------------------------------
-    logger.info("[5/7] building queries/positives/corpus from raw JSONL")
-    queries, positives, positive_ids, corpus = build_training_inputs(
-        raw_train, max_samples
-    )
-    logger.info(f"    {len(queries)} queries, corpus {len(corpus)} passages")
 
     # [6/7] mining (with teacher-score cache) -------------------------------------
     cache_path = output_dir / f"mined_stage{stage}.json"
@@ -207,9 +215,41 @@ def run_train_pipeline(
             )
 
     samples = mined_to_samples(queries, positives, mined, corpus)
+    n_empty = sum(1 for m in mined if not m.doc_ids)
+    if n_empty > len(mined) // 2:
+        logger.warning(
+            f"{n_empty}/{len(mined)} queries mined ZERO negatives — with "
+            "positive-only samples every KD loss term is 0 and nothing "
+            "trains. Likely cause: teacher confidence threshold "
+            f"({settings.mining.teacher_confidence_threshold}) filters all "
+            "candidates (untrained teacher?). Lower "
+            "SEMANTIC_KD_MINING__TEACHER_CONFIDENCE_THRESHOLD or use stage 1."
+        )
     n_dev = max(1, len(samples) // 10)
     dev_samples = samples[:n_dev]
     train_samples = samples[n_dev:] or samples
+
+    # stage-3 in-training ANCE refresh: the teacher candidate pool is cached,
+    # only the student-adversarial selection reruns with the live student
+    # (reference intent: configs/kd.yaml:100)
+    negative_refresher = None
+    if stage == 3:
+        from sskd_tpu.mining.miners import MinedNegatives, refresh_ance_negatives
+
+        teacher_pool = mined  # union already includes the rescored candidates
+
+        def negative_refresher(current_student):
+            fresh = refresh_ance_negatives(
+                current_student,
+                queries,
+                positives,
+                teacher_pool,
+                corpus,
+                ance_top_k=settings.mining.ance_top_k,
+                ance_margin=settings.mining.ance_margin,
+            )
+            fresh_samples = mined_to_samples(queries, positives, fresh, corpus)
+            return fresh_samples[n_dev:] or fresh_samples
 
     # [7/7] train ------------------------------------------------------------------
     logger.info(f"[7/7] KD training: {len(train_samples)} train / {n_dev} dev")
@@ -219,6 +259,7 @@ def run_train_pipeline(
         dev_samples=dev_samples,
         epochs=epochs,
         output_dir=output_dir,
+        negative_refresher=negative_refresher,
     )
     result["num_queries"] = len(queries)
     result["corpus_size"] = len(corpus)

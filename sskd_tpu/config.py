@@ -119,7 +119,9 @@ class IndexConfig(BaseModel):
     embedding_dim: int = Field(default=384, ge=1)
     metric: Literal["cosine", "dot"] = "cosine"
     dtype: Literal["float32", "bfloat16", "int8"] = "float32"
-    block_rows: int = Field(default=1024, ge=128)
+    search_method: Literal["exact", "approx"] = "approx"
+    recall_target: float = Field(default=0.99, ge=0.5, le=1.0)
+    block_rows: int = Field(default=262144, ge=128)
     default_k: int = Field(default=10, ge=1)
     shard_axis: str = "index"
     validation_queries: int = Field(default=1000, ge=1)

@@ -57,17 +57,26 @@ class IndexBuilder:
         index_type: str = "exact",
         metric: str = "cosine",
         dtype: str = "float32",
-        block_rows: int = 32768,
+        block_rows: int = 262144,
+        recall_target: float = 0.99,
     ):
+        """``index_type``: "exact" (blocked full top-k, recall 1.0) or
+        "approx" (fused binned top-k — the TPU-native analog of the
+        reference's HNSW approximation, ~9x faster at 1M rows, gated by
+        ``validate()`` against the same recall@10 >= 0.97 criterion,
+        reference: configs/index.yaml:52-56)."""
         if metric not in ("cosine", "dot"):
             raise IndexBuildError(f"unsupported metric {metric!r}")
         if dtype not in ("float32", "int8"):
             raise IndexBuildError(f"unsupported index dtype {dtype!r}")
+        if index_type not in ("exact", "approx"):
+            raise IndexBuildError(f"unsupported index_type {index_type!r}")
         self.embedding_dim = embedding_dim
         self.index_type = index_type
         self.metric = metric
         self.dtype = dtype
         self.block_rows = block_rows
+        self.recall_target = recall_target
         self.doc_ids: list[str] = []
         self.texts: list[str] | None = None
         self._vectors: np.ndarray | None = None  # f32 or int8
@@ -168,6 +177,7 @@ class IndexBuilder:
         meta = {
             "embedding_dim": self.embedding_dim,
             "index_type": self.index_type,
+            "recall_target": self.recall_target,
             "metric": self.metric,
             "dtype": self.dtype,
             "ntotal": self.ntotal,
@@ -210,6 +220,7 @@ class IndexBuilder:
         self.metric = meta["metric"]
         self.dtype = meta["dtype"]
         self.index_type = meta.get("index_type", "exact")
+        self.recall_target = meta.get("recall_target", 0.99)
         self._vectors = vectors
         self._scales = (
             np.load(path / "scales.npy") if (path / "scales.npy").exists() else None
@@ -270,6 +281,8 @@ class IndexBuilder:
             block_rows=block,
             row_scales=self._device_scales,
             valid_n=self.ntotal,
+            method=self.index_type,
+            recall_target=self.recall_target,
         )
         return np.asarray(vals), np.asarray(idx)
 

@@ -41,6 +41,8 @@ class ShardedIndex:
         axis: str = "index",
         metric: str = "cosine",
         block_rows: int = 8192,
+        method: str = "exact",
+        recall_target: float = 0.99,
     ):
         if axis not in mesh.axis_names:
             raise IndexBuildError(f"mesh has no axis {axis!r}")
@@ -48,6 +50,8 @@ class ShardedIndex:
         self.axis = axis
         self.metric = metric
         self.block_rows = block_rows
+        self.method = method
+        self.recall_target = recall_target
         self.n_shards = mesh.shape[axis]
         self.ntotal = 0
         self.doc_ids: list[str] = []
@@ -134,6 +138,8 @@ class ShardedIndex:
                 row_scales=shard_scales,
                 valid_n=ntotal,
                 index_offset=offset,
+                method=self.method,
+                recall_target=self.recall_target,
             )
             # all-gather candidates from every shard, merge to global top-k
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)

@@ -181,7 +181,14 @@ class KDTrainer:
         num_docs: int | None = None,
         query_len: int = 64,
         doc_len: int = 192,
+        negative_refresher=None,
     ) -> dict:
+        """Train. ``negative_refresher``, when given, is called with the
+        up-to-date student whenever ``mining.ance_refresh_every_n_steps``
+        training steps have elapsed since the last refresh (checked at epoch
+        boundaries) and must return fresh KDSamples — this is the in-training
+        ANCE refresh the reference configured but never implemented
+        (reference: configs/kd.yaml:100, SURVEY.md 7.2 step 8)."""
         import orbax.checkpoint as ocp
 
         cfg = self.cfg
@@ -189,15 +196,18 @@ class KDTrainer:
         output_dir = Path(output_dir or cfg.output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
 
-        dataset = KDDataset(
-            train_samples,
-            self.student.tokenizer,
-            num_docs=num_docs or cfg.num_docs_per_query,
-            query_len=query_len,
-            doc_len=doc_len,
-            query_prefix=self.student.query_prefix,
-            passage_prefix=self.student.passage_prefix,
-        )
+        def make_dataset(samples):
+            return KDDataset(
+                samples,
+                self.student.tokenizer,
+                num_docs=num_docs or cfg.num_docs_per_query,
+                query_len=query_len,
+                doc_len=doc_len,
+                query_prefix=self.student.query_prefix,
+                passage_prefix=self.student.passage_prefix,
+            )
+
+        dataset = make_dataset(train_samples)
         steps_per_epoch = dataset.steps_per_epoch(cfg.batch_size)
         total_steps = steps_per_epoch * epochs
         self._total_steps = total_steps
@@ -232,7 +242,25 @@ class KDTrainer:
 
         history: list[dict] = []
         epochs_without_improvement = 0
+        refresh_every = self.settings.mining.ance_refresh_every_n_steps
+        last_refresh_step = global_step
         for epoch in range(start_epoch, epochs):
+            # in-training ANCE refresh: re-mine negatives with the current
+            # student once enough steps elapsed (epoch-granular check)
+            if (
+                negative_refresher is not None
+                and epoch > start_epoch
+                and global_step - last_refresh_step >= refresh_every
+            ):
+                self.student.params = params
+                fresh = negative_refresher(self.student)
+                if fresh:
+                    dataset = make_dataset(fresh)
+                    last_refresh_step = global_step
+                    logger.info(
+                        f"ANCE refresh at step {global_step}: "
+                        f"{len(fresh)} samples re-mined"
+                    )
             t0 = time.time()
             losses, components = [], {"margin_mse": [], "listwise_kd": [], "contrastive": []}
             for batch in dataset.batches(

@@ -226,6 +226,30 @@ def build_mining_curriculum(
 
     if student is None:
         raise ValueError("stage 3 requires a student")
+    return refresh_ance_negatives(
+        student,
+        queries,
+        positives_per_query,
+        teacher_out,
+        corpus,
+        ance_top_k=ance_top_k,
+        ance_margin=ance_margin,
+    )
+
+
+def refresh_ance_negatives(
+    student,
+    queries: Sequence[str],
+    positives_per_query: Sequence[Sequence[str]],
+    teacher_out: Sequence[MinedNegatives],
+    corpus: Mapping[str, str],
+    ance_top_k: int = 5,
+    ance_margin: float = 0.1,
+) -> list[MinedNegatives]:
+    """Stage-3 union using cached teacher rescoring results — also the
+    in-training ANCE refresh path (reference: configs/kd.yaml:100
+    ``ance_refresh_every_n_steps``): the teacher pass is cached, only the
+    student-adversarial selection reruns with the CURRENT student."""
     ance = ANCEMiner(student, margin=ance_margin, top_k=ance_top_k)
     ance_out = ance.mine(
         queries,

@@ -6,14 +6,15 @@ an approximate graph walk, the TPU does an exact blocked matmul sweep —
 recall is 1.0 by construction, trivially beating the reference's 0.97
 recall@10 build gate (reference: configs/index.yaml:52-56).
 
-Design for the MXU/HBM (SURVEY.md section 7.3):
-- scores for a corpus block are one big [B, R] matmul (MXU-bound),
-- a `lax.scan` carries a running [B, K] top-k so the full [B, N] score
-  matrix is never materialized in HBM,
-- queries are batched to amortize the HBM sweep of the corpus — the
-  100k qps/chip target is batch-mode throughput,
-- the int8 path does the matmul in int8 (MXU native) against per-row scales
-  with a f32 rescale of only the [B, R] block.
+Design for the MXU/HBM (measured on TPU v5e — see scripts/profile_topk.py):
+- XLA's fused ``lax.top_k(q @ block.T)`` is near speed-of-light per block
+  (the [B, R] score tile never round-trips HBM at these sizes);
+- blocks are STATIC slices unrolled in python — a `lax.scan` with
+  `dynamic_slice` copies each corpus block and measured ~60x slower;
+- per-block top-k candidates are concatenated and reduced with one final
+  top-k, so the full [B, N] score matrix never exists for large N;
+- the int8 path runs the matmul in int8 (MXU native) against per-row scales
+  with an f32 rescale of only the [B, R] block.
 
 All functions are pure and jit-compatible with static shapes.
 """
@@ -25,7 +26,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min / 2)
+_NEG_INF = float(jnp.finfo(jnp.float32).min / 2)
+
+# Above this many unrolled blocks, group the tail into a scan to bound
+# compile time (10M rows at the default block size stays fully unrolled).
+MAX_UNROLL = 64
 
 
 def _pad_rows(x: jnp.ndarray, multiple: int):
@@ -41,13 +46,24 @@ def cosine_topk_core(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     k: int,
-    block_rows: int = 32768,
+    block_rows: int = 262144,
     row_scales: jnp.ndarray | None = None,
     valid_n=None,
     index_offset=0,
+    method: str = "exact",
+    recall_target: float = 0.99,
 ):
-    """Exact top-k by score = queries @ corpus^T (cosine when both sides are
+    """Top-k by score = queries @ corpus^T (cosine when both sides are
     L2-normalized, which the index builder guarantees).
+
+    Methods (both validated against the reference's recall@10 >= 0.97 gate,
+    configs/index.yaml:52-56; measured on v5e with 1M x 384 rows, B=256):
+    - ``exact``: blocked matmul + full per-block top-k, recall 1.0.
+    - ``approx``: one fused ``lax.approx_max_k`` sweep — XLA fuses the binned
+      reduction into the matmul epilogue so the [B, N] scores never
+      materialize; HBM-bound at ~0.84 ms/sweep int8 (~300k q/s/chip) vs
+      ~7.5 ms exact. This is the TPU-native analog of the reference's
+      HNSW approximation (recall_target plays efSearch's role).
 
     Args:
       queries: [B, D] float. corpus: [N, D] float or int8.
@@ -55,23 +71,28 @@ def cosine_topk_core(
       valid_n: true row count when the corpus was padded; rows >= valid_n are
         masked to -inf. Defaults to N. May be a traced scalar (sharded path).
       index_offset: added to returned indices (global ids for corpus shards);
-        the valid_n mask is applied AFTER offsetting, so pass the global row
-        count together with this shard's global start offset.
+        the valid_n mask is applied AFTER offsetting.
     Returns:
       (scores [B, k] f32, indices [B, k] int32); missing results are
       (-inf, -1), matching the FAISS convention the serving layer expects
       (reference: serve/app.py:293-300).
     """
+    if method == "approx":
+        return _approx_topk(
+            queries, corpus, k, row_scales, valid_n, index_offset, recall_target
+        )
     B, D = queries.shape
     N = corpus.shape[0]
     if valid_n is None:
         valid_n = N
-    k_eff = min(k, N)
+    k_eff = max(1, min(k, N))
+    block_rows = min(block_rows, max(128, N))
 
     corpus = _pad_rows(corpus, block_rows)
     if row_scales is not None:
         row_scales = _pad_rows(row_scales, block_rows)
     n_blocks = corpus.shape[0] // block_rows
+    k_block = min(k_eff, block_rows)
 
     is_int8 = corpus.dtype == jnp.int8
     if is_int8:
@@ -80,51 +101,82 @@ def cosine_topk_core(
         q_scale = q_absmax / 127.0
         q_int8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
 
-    def body(carry, i):
-        top_vals, top_idx = carry
-        start = i * block_rows
-        block = jax.lax.dynamic_slice(corpus, (start, 0), (block_rows, D))
+    def block_topk(block, scales_block, start):
+        """Fused matmul + top-k for one corpus block (static slice)."""
         if is_int8:
             raw = jax.lax.dot_general(
-                q_int8,
-                block,
-                (((1,), (1,)), ((), ())),
+                q_int8, block, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-            scales_block = jax.lax.dynamic_slice(row_scales, (start,), (block_rows,))
             scores = raw * q_scale * scales_block[None, :]
         else:
             scores = jax.lax.dot_general(
-                queries,
-                block,
-                (((1,), (1,)), ((), ())),
+                queries, block, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if row_scales is not None:
-                scales_block = jax.lax.dynamic_slice(row_scales, (start,), (block_rows,))
+            if scales_block is not None:
                 scores = scores * scales_block[None, :]
-
         global_idx = (
-            start
-            + index_offset
+            start + index_offset
             + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
         )
-        valid = global_idx < valid_n
-        scores = jnp.where(valid, scores, _NEG_INF)
+        scores = jnp.where(global_idx < valid_n, scores, _NEG_INF)
+        vals, pos = jax.lax.top_k(scores, k_block)
+        idx = start + index_offset + pos.astype(jnp.int32)
+        return vals, idx
 
-        cat_vals = jnp.concatenate([top_vals, scores], axis=1)
-        cat_idx = jnp.concatenate(
-            [top_idx, jnp.broadcast_to(global_idx, (B, block_rows))], axis=1
+    if n_blocks <= MAX_UNROLL:
+        parts_v, parts_i = [], []
+        for b in range(n_blocks):
+            lo = b * block_rows
+            block = jax.lax.slice_in_dim(corpus, lo, lo + block_rows, axis=0)
+            scales_block = (
+                jax.lax.slice_in_dim(row_scales, lo, lo + block_rows, axis=0)
+                if row_scales is not None
+                else None
+            )
+            v, i = block_topk(block, scales_block, lo)
+            parts_v.append(v)
+            parts_i.append(i)
+        cat_v = jnp.concatenate(parts_v, axis=1)
+        cat_i = jnp.concatenate(parts_i, axis=1)
+    else:
+        # huge corpora: scan over pre-stacked blocks, carrying the running
+        # candidate set
+        stacked = corpus.reshape(n_blocks, block_rows, D)
+        stacked_scales = (
+            row_scales.reshape(n_blocks, block_rows)
+            if row_scales is not None
+            else None
         )
-        new_vals, pos = jax.lax.top_k(cat_vals, k_eff)
-        new_idx = jnp.take_along_axis(cat_idx, pos, axis=1)
-        return (new_vals, new_idx), None
 
-    init_vals = jnp.full((B, k_eff), _NEG_INF, jnp.float32)
-    init_idx = jnp.full((B, k_eff), -1, jnp.int32)
-    (vals, idx), _ = jax.lax.scan(
-        body, (init_vals, init_idx), jnp.arange(n_blocks, dtype=jnp.int32)
-    )
+        def body(carry, xs):
+            c_v, c_i = carry
+            if stacked_scales is not None:
+                block, scales_block, start = xs
+            else:
+                (block, start), scales_block = xs, None
+            v, i = block_topk(block, scales_block, start)
+            merged_v = jnp.concatenate([c_v, v], axis=1)
+            merged_i = jnp.concatenate([c_i, i], axis=1)
+            nv, pos = jax.lax.top_k(merged_v, k_block)
+            ni = jnp.take_along_axis(merged_i, pos, axis=1)
+            return (nv, ni), None
+
+        starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_rows
+        init = (
+            jnp.full((B, k_block), _NEG_INF, jnp.float32),
+            jnp.full((B, k_block), -1, jnp.int32),
+        )
+        xs = (
+            (stacked, stacked_scales, starts)
+            if stacked_scales is not None
+            else (stacked, starts)
+        )
+        (cat_v, cat_i), _ = jax.lax.scan(body, init, xs)
+
+    vals, pos = jax.lax.top_k(cat_v, k_eff)
+    idx = jnp.take_along_axis(cat_i, pos, axis=1)
 
     if k_eff < k:  # pad out to requested k with FAISS-style sentinels
         vals = jnp.concatenate(
@@ -135,18 +187,68 @@ def cosine_topk_core(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "valid_n"))
+def _approx_topk(
+    queries, corpus, k, row_scales, valid_n, index_offset, recall_target
+):
+    """One fused approx_max_k sweep (scores never materialize in HBM)."""
+    B, D = queries.shape
+    N = corpus.shape[0]
+    if valid_n is None:
+        valid_n = N
+    k_eff = max(1, min(k, N))
+    if corpus.dtype == jnp.int8:
+        q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=1, keepdims=True), 1e-9)
+        q_scale = q_absmax / 127.0
+        q_int8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            q_int8, corpus, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * q_scale
+        if row_scales is not None:
+            scores = scores * row_scales[None, :]
+    else:
+        scores = jax.lax.dot_general(
+            queries, corpus, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if row_scales is not None:
+            scores = scores * row_scales[None, :]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    scores = jnp.where(row_idx < valid_n, scores, _NEG_INF)
+    vals, pos = jax.lax.approx_max_k(scores, k_eff, recall_target=recall_target)
+    idx = pos.astype(jnp.int32) + index_offset
+    if k_eff < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((B, k - k_eff), _NEG_INF, jnp.float32)], axis=1
+        )
+        idx = jnp.concatenate([idx, jnp.full((B, k - k_eff), -1, jnp.int32)], axis=1)
+    idx = jnp.where(vals > _NEG_INF / 2, idx, -1)
+    return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "valid_n", "method", "recall_target")
+)
 def cosine_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     k: int,
-    block_rows: int = 32768,
+    block_rows: int = 262144,
     row_scales: jnp.ndarray | None = None,
     valid_n: int | None = None,
+    method: str = "exact",
+    recall_target: float = 0.99,
 ):
     """Jitted single-device entry point; see :func:`cosine_topk_core`."""
     return cosine_topk_core(
-        queries, corpus, k, block_rows=block_rows, row_scales=row_scales, valid_n=valid_n
+        queries,
+        corpus,
+        k,
+        block_rows=block_rows,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        method=method,
+        recall_target=recall_target,
     )
 
 

@@ -49,6 +49,16 @@ from sskd_tpu.serve.schemas import (
 )
 from sskd_tpu.utils.chunk import maxsim_aggregate_topk
 from sskd_tpu.utils.logging import get_logger
+from sskd_tpu.utils.tracing import (
+    SPAN_ENCODE_QUERY,
+    SPAN_INDEX_SEARCH,
+    SPAN_LOAD_INDEX,
+    SPAN_LOAD_MODEL,
+    SPAN_RERANK,
+    TRACER,
+    span,
+    start_jax_profiler,
+)
 from sskd_tpu.version import __version__
 
 logger = get_logger("serve.app")
@@ -127,15 +137,19 @@ def create_app(
     # -- lifespan (reference: app.py:75-117) --------------------------------
 
     def startup():
+        if settings.monitoring.opentelemetry_enabled:
+            TRACER.configure_otel(settings.monitoring.opentelemetry_endpoint)
+        start_jax_profiler(settings.monitoring.jax_profiler_port)
         t0 = time.perf_counter()
         try:
-            state.student = StudentModel(
-                settings.student.model_name,
-                device=device,
-                max_seq_length=settings.student.max_seq_length,
-                query_prefix=settings.student.query_prefix,
-                passage_prefix=settings.student.passage_prefix,
-            )
+            with span(SPAN_LOAD_MODEL, model=settings.student.model_name):
+                state.student = StudentModel(
+                    settings.student.model_name,
+                    device=device,
+                    max_seq_length=settings.student.max_seq_length,
+                    query_prefix=settings.student.query_prefix,
+                    passage_prefix=settings.student.passage_prefix,
+                )
         except Exception:
             logger.exception("student model load failed — fatal")
             raise
@@ -257,7 +271,8 @@ def create_app(
             return Response({"error": "index not loaded"}, status=503)
 
         t0 = time.perf_counter()
-        q_emb = state.student.encode_queries([body.query])
+        with span(SPAN_ENCODE_QUERY):
+            q_emb = state.student.encode_queries([body.query])
         m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
 
         fetch_k = body.rerank_top_k if body.rerank else body.k
@@ -266,7 +281,8 @@ def create_app(
             fetch_k * 4 if use_maxsim else fetch_k, state.index_builder.ntotal
         )
         t0 = time.perf_counter()
-        scores, indices = state.index_builder.search(q_emb, k=chunk_k)
+        with span(SPAN_INDEX_SEARCH, k=chunk_k):
+            scores, indices = state.index_builder.search(q_emb, k=chunk_k)
         m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
 
         idx_row = [int(i) for i in indices[0] if i >= 0]
@@ -293,9 +309,10 @@ def create_app(
             if state.teacher is not None:
                 t0 = time.perf_counter()
                 pairs = [(body.query, r.text or r.doc_id) for r in results]
-                t_scores = state.teacher.score(
-                    pairs, batch_size=settings.teacher.batch_size
-                )
+                with span(SPAN_RERANK, n_pairs=len(pairs)):
+                    t_scores = state.teacher.score(
+                        pairs, batch_size=settings.teacher.batch_size
+                    )
                 m.RERANK_LATENCY.observe(time.perf_counter() - t0)
                 order = sorted(
                     range(len(results)), key=lambda i: -t_scores[i]
@@ -354,7 +371,8 @@ def create_app(
                 {"error": f"index dir not found: {index_dir}"}, status=400
             )
         builder = IndexBuilder()
-        builder.load(index_dir)
+        with span(SPAN_LOAD_INDEX, dir=str(index_dir)):
+            builder.load(index_dir)
         state.index_builder = builder
         m.INDEX_SIZE.set(builder.ntotal)
         return Response(

@@ -62,6 +62,31 @@ class TestCosineTopK:
         )
         assert recall >= 0.95
 
+    def test_approx_method_recall(self):
+        rng = np.random.default_rng(11)
+        corpus = _normed(rng, 3000, 64)
+        queries = _normed(rng, 16, 64)
+        vals, idx = cosine_topk(
+            jnp.asarray(queries), jnp.asarray(corpus), k=10,
+            method="approx", recall_target=0.95,
+        )
+        gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+        recall = np.mean(
+            [len(set(np.asarray(idx)[i].tolist()) & set(gt_idx[i])) / 10 for i in range(16)]
+        )
+        assert recall >= 0.9  # CPU approx_max_k still meets a loose floor
+        assert idx.shape == (16, 10)
+
+    def test_approx_index_builder_gate(self):
+        rng = np.random.default_rng(12)
+        emb = _normed(rng, 2000, 384)
+        b = IndexBuilder(index_type="approx", dtype="int8")
+        b.build_from_arrays(emb, [str(i) for i in range(2000)])
+        report = b.validate(n_queries=50, k=10)
+        assert report["recall@10"] >= 0.9
+        _, idx = b.search(emb[:3], k=1)
+        assert idx[:, 0].tolist() == [0, 1, 2]
+
     def test_merge_topk(self):
         scores = jnp.asarray([[1.0, 5.0, 3.0, 4.0]])
         indices = jnp.asarray([[10, 20, 30, 40]], dtype=jnp.int32)

@@ -1,0 +1,97 @@
+"""Pallas fused top-k kernel parity tests (interpret mode on CPU; the same
+kernel compiles on TPU and is benchmarked there)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sskd_tpu.ops.quant import quantize_rows
+from sskd_tpu.ops.topk_pallas import cosine_topk_pallas
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_matches_brute_force_f32():
+    rng = np.random.default_rng(0)
+    corpus = _normed(rng, 1000, 128)
+    queries = _normed(rng, 8, 128)
+    vals, idx = cosine_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), k=10, block_rows=256, interpret=True
+    )
+    gt = queries @ corpus.T
+    gt_idx = np.argsort(-gt, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(idx), gt_idx)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(gt, gt_idx, 1), rtol=1e-5
+    )
+
+
+def test_non_divisible_rows_masked():
+    rng = np.random.default_rng(1)
+    corpus = _normed(rng, 700, 64)
+    queries = _normed(rng, 4, 64)
+    vals, idx = cosine_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), k=5, block_rows=256, interpret=True
+    )
+    gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), gt_idx)
+    assert np.asarray(idx).max() < 700
+
+
+def test_int8_high_recall():
+    rng = np.random.default_rng(2)
+    corpus = _normed(rng, 1500, 128)
+    queries = _normed(rng, 8, 128)
+    values, scales = quantize_rows(jnp.asarray(corpus))
+    vals, idx = cosine_topk_pallas(
+        jnp.asarray(queries),
+        values,
+        k=10,
+        block_rows=512,
+        row_scales=scales,
+        interpret=True,
+    )
+    gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    recall = np.mean(
+        [len(set(np.asarray(idx)[i]) & set(gt_idx[i])) / 10 for i in range(8)]
+    )
+    assert recall >= 0.95
+
+
+def test_k_exceeds_corpus():
+    rng = np.random.default_rng(3)
+    corpus = _normed(rng, 6, 32)
+    queries = _normed(rng, 2, 32)
+    vals, idx = cosine_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), k=10, block_rows=128, interpret=True
+    )
+    assert idx.shape == (2, 10)
+    assert (np.asarray(idx)[:, 6:] == -1).all()
+
+
+def test_matches_scan_engine():
+    from sskd_tpu.ops.topk import cosine_topk
+
+    rng = np.random.default_rng(4)
+    corpus = _normed(rng, 900, 64)
+    queries = _normed(rng, 6, 64)
+    v1, i1 = cosine_topk(jnp.asarray(queries), jnp.asarray(corpus), k=7, block_rows=256)
+    v2, i2 = cosine_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(corpus), k=7, block_rows=256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_k_cap():
+    rng = np.random.default_rng(5)
+    corpus = _normed(rng, 300, 32)
+    queries = _normed(rng, 2, 32)
+    with pytest.raises(ValueError):
+        cosine_topk_pallas(
+            jnp.asarray(queries), jnp.asarray(corpus), k=200, interpret=True
+        )

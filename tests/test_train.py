@@ -140,6 +140,28 @@ class TestKDTrainer:
         assert len(r2["history"]) == 1
         assert r2["history"][0]["epoch"] == 2
 
+    def test_ance_refresh_called(self, student, tmp_path):
+        samples = _make_samples(8)
+        calls = []
+
+        def refresher(current_student):
+            calls.append(current_student)
+            return _make_samples(8, seed=99)
+
+        settings = self._settings(epochs=3)
+        settings.mining.ance_refresh_every_n_steps = 2  # 2 steps/epoch
+        trainer = KDTrainer(student, settings)
+        trainer.train(
+            samples,
+            output_dir=tmp_path / "refresh",
+            query_len=16,
+            doc_len=16,
+            negative_refresher=refresher,
+        )
+        # refresh fires at epoch boundaries 2 and 3
+        assert len(calls) == 2
+        assert calls[0] is student
+
     def test_data_parallel_mesh_step(self, student, tmp_path):
         import jax
 
