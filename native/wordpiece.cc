@@ -1,0 +1,153 @@
+// Native WordPiece tokenizer core.
+//
+// The reference tokenized through HuggingFace's Rust `tokenizers` binding
+// (reference: pyproject.toml:12-13); this is the framework's first-party
+// native equivalent: BERT basic tokenization (ASCII lowercase + punctuation
+// split) followed by greedy longest-match WordPiece, exposed through a
+// minimal C ABI consumed via ctypes (sskd_tpu/tokenization/native.py).
+//
+// Scope note: operates on bytes; the Python binding routes only ASCII text
+// here (hot path for MS MARCO-class corpora) and falls back to the pure
+// Python implementation for non-ASCII input, where code-point offsets
+// matter. Semantics for ASCII input are bit-identical to the Python
+// tokenizer (pinned by tests/test_native_tokenizer.py).
+//
+// Build: make -C native   (emits libwordpiece.so)
+
+#include <cstddef>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vocab {
+  std::unordered_map<std::string, int> table;
+  int unk_id = 1;
+  size_t max_token_chars = 100;
+};
+
+inline bool is_ascii_space(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+         c == '\f';
+}
+
+inline bool is_ascii_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+inline char to_lower(char c) {
+  return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32) : c;
+}
+
+// Greedy longest-match WordPiece over one lowercased word.
+// Appends (id, start, end) triples; returns false -> caller emits UNK.
+bool wordpiece(const Vocab& vocab, const std::string& word, int word_start,
+               std::vector<int>* ids, std::vector<int>* offsets) {
+  if (word.size() > vocab.max_token_chars) return false;
+  size_t start = 0;
+  std::vector<int> tmp_ids;
+  std::vector<int> tmp_offsets;
+  while (start < word.size()) {
+    size_t end = word.size();
+    int found = -1;
+    size_t found_end = start;
+    while (start < end) {
+      std::string piece = word.substr(start, end - start);
+      if (start > 0) piece = "##" + piece;
+      auto it = vocab.table.find(piece);
+      if (it != vocab.table.end()) {
+        found = it->second;
+        found_end = end;
+        break;
+      }
+      --end;
+    }
+    if (found < 0) return false;
+    tmp_ids.push_back(found);
+    tmp_offsets.push_back(word_start + static_cast<int>(start));
+    tmp_offsets.push_back(word_start + static_cast<int>(found_end));
+    start = found_end;
+  }
+  ids->insert(ids->end(), tmp_ids.begin(), tmp_ids.end());
+  offsets->insert(offsets->end(), tmp_offsets.begin(), tmp_offsets.end());
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_data: newline-joined tokens, id = line index.
+void* wp_create(const char* vocab_data, size_t len, int unk_id) {
+  auto* vocab = new Vocab();
+  vocab->unk_id = unk_id;
+  std::string data(vocab_data, len);
+  size_t pos = 0;
+  int id = 0;
+  while (pos <= data.size()) {
+    size_t nl = data.find('\n', pos);
+    if (nl == std::string::npos) nl = data.size();
+    if (nl > pos) vocab->table.emplace(data.substr(pos, nl - pos), id);
+    ++id;
+    if (nl >= data.size()) break;
+    pos = nl + 1;
+  }
+  return vocab;
+}
+
+void wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Tokenize ASCII `text` (len bytes). Writes up to max_out ids and
+// 2*max_out offsets (start,end pairs). Returns token count, or -1 if the
+// output buffer is too small.
+int wp_tokenize(void* handle, const char* text, size_t len, int lowercase,
+                int* out_ids, int* out_offsets, int max_out) {
+  const Vocab& vocab = *static_cast<Vocab*>(handle);
+  std::vector<int> ids;
+  std::vector<int> offsets;
+  ids.reserve(len / 4 + 4);
+  offsets.reserve(len / 2 + 8);
+
+  std::string word;
+  int word_start = -1;
+  auto flush = [&](int end_pos) {
+    if (word.empty()) return;
+    if (!wordpiece(vocab, word, word_start, &ids, &offsets)) {
+      ids.push_back(vocab.unk_id);
+      offsets.push_back(word_start);
+      offsets.push_back(end_pos);
+    }
+    word.clear();
+    word_start = -1;
+  };
+
+  for (size_t i = 0; i < len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (is_ascii_space(c)) {
+      flush(static_cast<int>(i));
+      continue;
+    }
+    if (is_ascii_punct(c)) {
+      flush(static_cast<int>(i));
+      std::string p(1, lowercase ? to_lower(text[i]) : text[i]);
+      auto it = vocab.table.find(p);
+      ids.push_back(it != vocab.table.end() ? it->second : vocab.unk_id);
+      offsets.push_back(static_cast<int>(i));
+      offsets.push_back(static_cast<int>(i) + 1);
+      continue;
+    }
+    if (word.empty()) word_start = static_cast<int>(i);
+    word.push_back(lowercase ? to_lower(text[i]) : text[i]);
+  }
+  flush(static_cast<int>(len));
+
+  if (static_cast<int>(ids.size()) > max_out) return -1;
+  std::memcpy(out_ids, ids.data(), ids.size() * sizeof(int));
+  std::memcpy(out_offsets, offsets.data(), offsets.size() * sizeof(int));
+  return static_cast<int>(ids.size());
+}
+
+}  // extern "C"

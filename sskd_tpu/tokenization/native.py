@@ -1,0 +1,110 @@
+"""ctypes binding for the native WordPiece core (native/wordpiece.cc).
+
+Replaces the reference's third-party Rust `tokenizers` dependency with
+first-party native code on the host-side hot path (corpus preparation and
+serving tokenize both funnel through here). The binding:
+
+- builds ``libwordpiece.so`` on demand (``make -C native``) and caches it;
+- routes ASCII text through the C++ core (bit-identical semantics, pinned by
+  tests/test_native_tokenizer.py) and non-ASCII text to the pure-Python
+  implementation, whose offsets are in code points;
+- degrades silently to pure Python when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from sskd_tpu.utils.logging import get_logger
+
+logger = get_logger("tokenization.native")
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libwordpiece.so"
+_LIB: ctypes.CDLL | None = None
+_LIB_FAILED = False
+
+
+def _load_library() -> ctypes.CDLL | None:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+        lib.wp_free.argtypes = [ctypes.c_void_p]
+        lib.wp_tokenize.restype = ctypes.c_int
+        lib.wp_tokenize.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        _LIB = lib
+        logger.info(f"native wordpiece core loaded from {_LIB_PATH}")
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.warning(f"native tokenizer unavailable ({e}); pure-python fallback")
+        _LIB_FAILED = True
+    return _LIB
+
+
+class NativeWordPiece:
+    """Handle on a C++ vocab. One instance per tokenizer."""
+
+    def __init__(self, vocab: dict[str, int], unk_id: int, lowercase: bool):
+        self._lib = _load_library()
+        self._handle = None
+        self.lowercase = lowercase
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+        max_id = ordered[-1][1] if ordered else -1
+        lines = [""] * (max_id + 1)
+        for token, idx in ordered:
+            lines[idx] = token
+        blob = "\n".join(lines).encode("utf-8")
+        self._handle = self._lib.wp_create(blob, len(blob), unk_id)
+
+    def __del__(self):  # pragma: no cover - GC timing
+        if getattr(self, "_handle", None) and self._lib is not None:
+            self._lib.wp_free(self._handle)
+            self._handle = None
+
+    def tokenize_with_offsets(self, text: str):
+        """ASCII-only fast path; caller guarantees ``text.isascii()``."""
+        data = text.encode("ascii")
+        cap = max(16, 2 * len(data) + 8)
+        ids = np.empty(cap, dtype=np.int32)
+        offsets = np.empty(2 * cap, dtype=np.int32)
+        n = self._lib.wp_tokenize(
+            self._handle,
+            data,
+            len(data),
+            1 if self.lowercase else 0,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            cap,
+        )
+        if n < 0:  # pragma: no cover - cap is 2x input length
+            raise RuntimeError("native tokenizer output buffer overflow")
+        pairs = offsets[: 2 * n].reshape(n, 2)
+        return ids[:n].tolist(), [tuple(p) for p in pairs.tolist()]
+
+
+def native_available() -> bool:
+    return _load_library() is not None

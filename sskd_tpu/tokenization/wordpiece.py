@@ -102,6 +102,8 @@ class WordPieceTokenizer:
         self.cls_id = self.vocab[CLS]
         self.sep_id = self.vocab[SEP]
         self.mask_id = self.vocab[MASK]
+        self._native = None
+        self._native_tried = False
 
     @property
     def vocab_size(self) -> int:
@@ -220,11 +222,36 @@ class WordPieceTokenizer:
             start = end
         return pieces
 
+    def _native_core(self):
+        """Lazily attach the C++ core (native/wordpiece.cc); None when the
+        toolchain is unavailable or SSKD_NATIVE_TOKENIZER=0."""
+        if not self._native_tried:
+            self._native_tried = True
+            import os
+
+            if os.environ.get("SSKD_NATIVE_TOKENIZER", "1") != "0":
+                try:
+                    from sskd_tpu.tokenization.native import NativeWordPiece
+
+                    self._native = NativeWordPiece(
+                        self.vocab, self.unk_id, self.lowercase
+                    )
+                except (RuntimeError, OSError):
+                    self._native = None
+        return self._native
+
     def tokenize_with_offsets(
         self, text: str
     ) -> tuple[list[int], list[tuple[int, int]]]:
         """Token ids + per-token (start_char, end_char) offsets.
-        WordPiece pieces of one word share proportional sub-offsets."""
+        WordPiece pieces of one word share proportional sub-offsets.
+
+        ASCII text runs through the native C++ core when built (byte offsets
+        == char offsets there); non-ASCII text uses the python path whose
+        offsets are code-point exact."""
+        native = self._native_core()
+        if native is not None and text.isascii():
+            return native.tokenize_with_offsets(text)
         ids: list[int] = []
         offsets: list[tuple[int, int]] = []
         for word, start, end in basic_tokenize_with_offsets(text, self.lowercase):

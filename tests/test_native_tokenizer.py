@@ -1,0 +1,81 @@
+"""Native C++ WordPiece core parity vs the pure-Python implementation
+(native/wordpiece.cc via ctypes; ASCII semantics must be bit-identical)."""
+
+import os
+
+import pytest
+
+from sskd_tpu.tokenization import WordPieceTokenizer
+from sskd_tpu.tokenization.native import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "semantic search with knowledge distillation",
+    "punctuation, everywhere! right? (yes) [ok] {fine}",
+    "numbers 123 456 and mixed a1b2c3",
+]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer.build_from_corpus(CORPUS, vocab_size=512)
+
+
+def _python_path(tok, text):
+    """Force the pure-python implementation."""
+    saved, saved_tried = tok._native, tok._native_tried
+    tok._native, tok._native_tried = None, True
+    try:
+        return tok.tokenize_with_offsets(text)
+    finally:
+        tok._native, tok._native_tried = saved, saved_tried
+
+
+@pytest.mark.parametrize(
+    "text",
+    CORPUS
+    + [
+        "",
+        "   ",
+        "single",
+        "UPPERCASE Words MiXeD",
+        "trailing space ",
+        " leading",
+        "a.b.c!d",
+        "unknownzzzwordzzz here",
+        "x" * 300,  # exceeds max_input_chars_per_word -> UNK
+    ],
+)
+def test_ascii_parity(tok, text):
+    native_ids, native_offsets = tok.tokenize_with_offsets(text)
+    py_ids, py_offsets = _python_path(tok, text)
+    assert native_ids == py_ids, text
+    assert native_offsets == py_offsets, text
+
+
+def test_non_ascii_falls_back(tok):
+    # must not crash, must produce python-path results
+    ids, offsets = tok.tokenize_with_offsets("héllo wörld")
+    py_ids, py_offsets = _python_path(tok, "héllo wörld")
+    assert ids == py_ids and offsets == py_offsets
+
+
+def test_kill_switch(monkeypatch):
+    monkeypatch.setenv("SSKD_NATIVE_TOKENIZER", "0")
+    t = WordPieceTokenizer.build_from_corpus(CORPUS, vocab_size=256)
+    t.tokenize("anything works")
+    assert t._native is None
+
+
+def test_offsets_slice_source(tok):
+    text = "greedy longest match wordpiece, tested!"
+    ids, offsets = tok.tokenize_with_offsets(text)
+    for (s, e), tid in zip(offsets, ids):
+        assert 0 <= s < e <= len(text)
+        piece = tok.inv_vocab[tid]
+        if not piece.startswith("##") and piece not in ("[UNK]",):
+            assert text[s:e].lower() == piece
