@@ -189,7 +189,10 @@ class ServiceConfig(BaseModel):
     workers: int = Field(default=1, ge=1)
     environment: Literal["development", "staging", "production"] = "development"
     version: str = "0.1.0"
-    micro_batch_window_ms: float = Field(default=2.0, ge=0.0)
+    # micro-batching of concurrent /search requests: window 0 = greedy
+    # coalescing of whatever is already queued (no added latency); raise the
+    # window to trade p50 for throughput under bursty load
+    micro_batch_window_ms: float = Field(default=0.0, ge=0.0)
     micro_batch_max_size: int = Field(default=64, ge=1)
 
 

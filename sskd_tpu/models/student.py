@@ -245,10 +245,16 @@ class StudentModel:
         out = []
         for start in range(0, len(texts), batch_size):
             chunk = list(texts[start : start + batch_size])
+            n = len(chunk)
+            # bucket the BATCH dimension too: serving micro-batches arrive
+            # at arbitrary sizes and every new size would recompile
+            padded_n = bucket_length(n, batch_size)
+            if padded_n > n:
+                chunk = chunk + [""] * (padded_n - n)
             batch = self.tokenize_batch(chunk)
             fn = self._encode_fn(batch["input_ids"].shape[1])
             emb = fn(self.params, batch["input_ids"], batch["attention_mask"])
-            out.append(np.asarray(emb))
+            out.append(np.asarray(emb)[:n])
         emb = np.concatenate(out, axis=0)
         if normalize is not None and normalize != self.normalize:
             if normalize:

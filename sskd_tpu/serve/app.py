@@ -73,6 +73,7 @@ class AppState:
         self.index_builder: IndexBuilder | None = None
         self.settings: Settings | None = None
         self.ready: bool = False
+        self.search_batcher = None  # MicroBatcher when enabled
 
     @property
     def index_loaded(self) -> bool:
@@ -179,10 +180,44 @@ def create_app(
                 state.index_builder.search(warm, k=settings.search.default_k)
         except Exception:
             logger.exception("warmup failed (continuing)")
+
+        if settings.service.micro_batch_max_size > 1:
+            from sskd_tpu.serve.batcher import MicroBatcher
+
+            def batched_search(items):
+                queries = [q for q, _ in items]
+                max_k = max(k for _, k in items)
+                # bucket k so differing request k's don't recompile the
+                # search (results are sliced per request below)
+                for bucket in (10, 20, 50, 100, 200, 400):
+                    if max_k <= bucket <= state.index_builder.ntotal:
+                        max_k = bucket
+                        break
+                t0 = time.perf_counter()
+                with span(SPAN_ENCODE_QUERY, batch=len(queries)):
+                    q_emb = state.student.encode_queries(queries)
+                m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                with span(SPAN_INDEX_SEARCH, k=max_k, batch=len(queries)):
+                    scores, indices = state.index_builder.search(q_emb, k=max_k)
+                m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
+                return [
+                    (scores[i, :k], indices[i, :k])
+                    for i, (_, k) in enumerate(items)
+                ]
+
+            state.search_batcher = MicroBatcher(
+                batched_search,
+                window_ms=settings.service.micro_batch_window_ms,
+                max_size=settings.service.micro_batch_max_size,
+            )
         state.ready = True
 
-    def shutdown():
+    async def shutdown():
         state.ready = False  # drain signal (reference: app.py:115-116)
+        if state.search_batcher is not None:
+            await state.search_batcher.close()
+            state.search_batcher = None
 
     app.on_startup.append(startup)
     app.on_shutdown.append(shutdown)
@@ -270,23 +305,29 @@ def create_app(
             # (reference: app.py:279-283)
             return Response({"error": "index not loaded"}, status=503)
 
-        t0 = time.perf_counter()
-        with span(SPAN_ENCODE_QUERY):
-            q_emb = state.student.encode_queries([body.query])
-        m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
-
         fetch_k = body.rerank_top_k if body.rerank else body.k
         use_maxsim = settings.search.maxsim_aggregation
         chunk_k = min(
             fetch_k * 4 if use_maxsim else fetch_k, state.index_builder.ntotal
         )
-        t0 = time.perf_counter()
-        with span(SPAN_INDEX_SEARCH, k=chunk_k):
-            scores, indices = state.index_builder.search(q_emb, k=chunk_k)
-        m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
+        if state.search_batcher is not None:
+            # concurrent requests coalesce into one encode + one sweep
+            score_vec, idx_vec = await state.search_batcher.submit(
+                (body.query, chunk_k)
+            )
+        else:
+            t0 = time.perf_counter()
+            with span(SPAN_ENCODE_QUERY):
+                q_emb = state.student.encode_queries([body.query])
+            m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            with span(SPAN_INDEX_SEARCH, k=chunk_k):
+                scores, indices = state.index_builder.search(q_emb, k=chunk_k)
+            m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
+            score_vec, idx_vec = scores[0], indices[0]
 
-        idx_row = [int(i) for i in indices[0] if i >= 0]
-        score_row = [float(s) for s, i in zip(scores[0], indices[0]) if i >= 0]
+        idx_row = [int(i) for i in idx_vec if i >= 0]
+        score_row = [float(s) for s, i in zip(score_vec, idx_vec) if i >= 0]
         doc_ids = [state.index_builder.doc_ids[i] for i in idx_row]
         texts = state.index_builder.get_texts(idx_row)
 
