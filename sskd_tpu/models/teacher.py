@@ -219,6 +219,15 @@ class TeacherModel:
         """Single-pair variant (reference: scripts/evaluate_production.py:73)."""
         return self.score([(query, doc)])[0]
 
+    def shard_tensor_parallel(self, mesh, axis: str = "index") -> None:
+        """Split this teacher's matmuls over a mesh axis (Megatron-style TP;
+        see :mod:`sskd_tpu.parallel.tp`). Subsequent ``score`` calls run
+        SPMD with XLA-inserted collectives."""
+        from sskd_tpu.parallel.tp import shard_params_tp
+
+        self.params = shard_params_tp(self.params, mesh, axis)
+        self._score_jit.clear()
+
     @staticmethod
     def get_confidence(score: float) -> float:
         """Map a raw logit to [0, 1] confidence — sigmoid; used by stage-2
