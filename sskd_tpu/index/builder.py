@@ -67,7 +67,7 @@ class IndexBuilder:
         reference: configs/index.yaml:52-56)."""
         if metric not in ("cosine", "dot"):
             raise IndexBuildError(f"unsupported metric {metric!r}")
-        if dtype not in ("float32", "int8"):
+        if dtype not in ("float32", "bfloat16", "int8"):
             raise IndexBuildError(f"unsupported index dtype {dtype!r}")
         if index_type not in ("exact", "approx"):
             raise IndexBuildError(f"unsupported index_type {index_type!r}")
@@ -125,6 +125,11 @@ class IndexBuilder:
             values, scales = quantize_rows(emb)
             self._vectors = np.asarray(values)
             self._scales = np.asarray(scales)
+        elif self.dtype == "bfloat16":
+            import ml_dtypes
+
+            self._vectors = emb.astype(ml_dtypes.bfloat16)
+            self._scales = None
         else:
             self._vectors = emb
             self._scales = None
@@ -207,6 +212,11 @@ class IndexBuilder:
         with open(path / "meta.json") as f:
             meta = json.load(f)
         vectors = np.load(path / "vectors.npy")
+        if meta["dtype"] == "bfloat16" and vectors.dtype.kind == "V":
+            # numpy round-trips ml_dtypes.bfloat16 as a 2-byte void dtype
+            import ml_dtypes
+
+            vectors = vectors.view(ml_dtypes.bfloat16)
         if _sha256(vectors) != meta["checksums"]["vectors"]:
             raise IndexLoadError("vectors checksum mismatch — corrupt index")
         with open(path / "doc_ids.json") as f:
@@ -318,7 +328,7 @@ class IndexBuilder:
 
             full = np.asarray(dequantize_rows(self._vectors, self._scales))
         else:
-            full = self._vectors
+            full = self._vectors.astype(np.float32)
         queries = full[probe_rows] + rng.normal(0, 0.05, (n, self.embedding_dim)).astype(
             np.float32
         )

@@ -21,6 +21,22 @@ def test_defaults():
     assert s.search.default_k == 10
 
 
+def test_margin_mse_only_config_valid():
+    # BASELINE config 2: Margin-MSE-only training must validate
+    cfg = LossConfig(
+        margin_mse_weight=1.0, listwise_kd_weight=0.0, contrastive_weight=0.0
+    )
+    assert cfg.margin_mse_weight == 1.0
+
+
+def test_bundled_yaml_presets_load():
+    from pathlib import Path
+
+    for name in ("kd.yaml", "index.yaml", "service.yaml", "kd_marginmse_cached.yaml"):
+        s = Settings.from_yaml(Path("configs") / name)
+        assert s.student.embedding_dim == 384
+
+
 def test_loss_weights_must_sum_to_one():
     with pytest.raises(ValidationError):
         LossConfig(margin_mse_weight=0.9, listwise_kd_weight=0.9, contrastive_weight=0.9)

@@ -161,6 +161,19 @@ class TestIndexBuilder:
         _, idx = b2.search(emb[:4], k=1)
         assert idx[:, 0].tolist() == [0, 1, 2, 3]
 
+    def test_bfloat16_index_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(13)
+        emb = _normed(rng, 150, 384)
+        b = IndexBuilder(dtype="bfloat16")
+        b.build_from_arrays(emb, [str(i) for i in range(150)])
+        out = tmp_path / "idxbf16"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+        assert b2.dtype == "bfloat16"
+        _, idx = b2.search(emb[:4], k=1)
+        assert idx[:, 0].tolist() == [0, 1, 2, 3]
+        assert b2.validate(n_queries=30, k=10)["recall@10"] >= 0.97
+
     def test_validation_gate(self, tmp_path):
         rng = np.random.default_rng(8)
         emb = _normed(rng, 300, 384)
