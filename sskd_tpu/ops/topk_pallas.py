@@ -53,6 +53,7 @@ def _kernel(
     k: int,
     block_rows: int,
     is_int8: bool,
+    prune: bool,
 ):
     step = pl.program_id(0)
     R = block_rows
@@ -82,35 +83,57 @@ def _kernel(
         if scale_ref is not None:
             scores = scores * scale_ref[0][None, :]
 
-    # ---- mask padded rows, fill the unified buffer ---------------------
+    # ---- mask padded rows -----------------------------------------------
     global_idx = step * R + jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
     valid = global_idx < valid_n_ref[0, 0]
-    s_buf[:, :R] = jnp.where(valid, scores, _NEG_INF)
-    i_buf[:, :R] = jnp.where(valid, global_idx, -1)
-    s_buf[:, R:] = run_vals[:]
-    i_buf[:, R:] = run_idx[:]
+    scores = jnp.where(valid, scores, _NEG_INF)
 
-    # ---- exact k-pass max extraction -----------------------------------
-    # Stores into the running top-k use a masked full-tile update rather
-    # than a dynamic lane slice: Mosaic requires lane-dim store offsets to
-    # be 128-aligned, and a [B, 1] store at traced lane ki is not.
-    lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
+    # ---- threshold pruning ----------------------------------------------
+    # A block only matters for queries whose kth-best would change. One max
+    # pass decides; blocks that cannot contribute skip the k-pass extraction
+    # entirely (the dominant VPU cost, ~k*5 passes over [B, R]). With many
+    # queries nearly every block contributes (expected winners/block =
+    # B*k/n_blocks), so the wrapper enables pruning only for small batches.
+    def _extract_block():
+        s_buf[:, :R] = scores
+        i_buf[:, :R] = jnp.where(valid, global_idx, -1)
+        s_buf[:, R:] = run_vals[:]
+        i_buf[:, R:] = run_idx[:]
 
-    def extract(ki, _):
-        s = s_buf[:]
-        m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
-        eq = s >= m  # max positions
-        # winning global index = min index among maxima (deterministic ties)
-        win = jnp.min(jnp.where(eq, i_buf[:], _INT_MAX), axis=1, keepdims=True)
-        at_k = lane == ki
-        run_vals[:] = jnp.where(at_k, m, run_vals[:])
-        run_idx[:] = jnp.where(at_k, win, run_idx[:])
-        # knock out exactly the winning element
-        s_buf[:] = jnp.where(eq & (i_buf[:] == win), _NEG_INF, s)
-        return 0
+        # Stores into the running top-k use a masked full-tile update
+        # rather than a dynamic lane slice: Mosaic requires lane-dim store
+        # offsets to be 128-aligned, and a [B, 1] store at traced ki is not.
+        lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
 
-    jax.lax.fori_loop(0, k, extract, 0)
-    # positions k..K_PAD stay at -inf/-1 from init (never written)
+        def extract(ki, _):
+            s = s_buf[:]
+            m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
+            eq = s >= m  # max positions
+            # winning index = min index among maxima (deterministic ties)
+            win = jnp.min(
+                jnp.where(eq, i_buf[:], _INT_MAX), axis=1, keepdims=True
+            )
+            at_k = lane == ki
+            run_vals[:] = jnp.where(at_k, m, run_vals[:])
+            run_idx[:] = jnp.where(at_k, win, run_idx[:])
+            # knock out exactly the winning element
+            s_buf[:] = jnp.where(eq & (i_buf[:] == win), _NEG_INF, s)
+            return 0
+
+        jax.lax.fori_loop(0, k, extract, 0)
+        # positions k..K_PAD stay at -inf/-1 from init (never written)
+
+    if prune:
+        block_max = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
+        kth_lane = (
+            jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1) == k - 1
+        )
+        kth = jnp.sum(
+            jnp.where(kth_lane, run_vals[:], 0.0), axis=1, keepdims=True
+        )
+        pl.when(jnp.any(block_max > kth))(_extract_block)
+    else:
+        _extract_block()
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _emit():
@@ -119,7 +142,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "valid_n", "interpret")
+    jax.jit, static_argnames=("k", "block_rows", "valid_n", "interpret", "prune")
 )
 def cosine_topk_pallas(
     queries: jnp.ndarray,
@@ -129,10 +152,19 @@ def cosine_topk_pallas(
     row_scales: jnp.ndarray | None = None,
     valid_n: int | None = None,
     interpret: bool | None = None,
+    prune: bool | None = None,
 ):
     """Exact fused top-k. Same contract as
     :func:`sskd_tpu.ops.topk.cosine_topk`: returns (scores [B, k] f32,
     indices [B, k] int32) with (-inf, -1) sentinels.
+
+    ``prune`` (default: on for query batches <= 64) adds a one-pass
+    block-max threshold check that skips the k-pass extraction for blocks
+    that cannot change any query's top-k — a large win for small batches
+    (measured 3x+ at B=8), a ~9% loss at B=256 where nearly every block
+    contributes. Tie caveat: a pruned block with an element exactly equal
+    to a query's kth score keeps the incumbent (scores identical; only
+    tie-index selection can differ from brute force).
     """
     if k > K_PAD:
         raise ValueError(f"k={k} exceeds kernel capacity {K_PAD}")
@@ -184,12 +216,15 @@ def cosine_topk_pallas(
         in_specs.append(pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM))
         operands.append(q_scale)
 
+    if prune is None:
+        prune = B <= 64
     kernel = functools.partial(
         _kernel_dispatch,
         has_scales=scales_arr is not None,
         is_int8=is_int8,
         k=min(k, valid_n),
         block_rows=block_rows,
+        prune=prune,
     )
 
     out_vals, out_idx = pl.pallas_call(
@@ -232,9 +267,10 @@ def cosine_topk_pallas(
     return vals, idx
 
 
-def _kernel_dispatch(valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, k, block_rows):
+def _kernel_dispatch(
+    valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, k, block_rows, prune
+):
     """Unpack optional operands, then run the kernel body."""
-    pos = 0
     rest = list(rest)
     scale_ref = rest.pop(0) if has_scales else None
     qscale_ref = rest.pop(0) if is_int8 else None
@@ -254,5 +290,5 @@ def _kernel_dispatch(valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, k,
         k=k,
         block_rows=block_rows,
         is_int8=is_int8,
+        prune=prune,
     )
-    del pos

@@ -348,26 +348,45 @@ def create_app(
         if body.rerank:
             m.RERANK_TRIGGERS.inc()
             if state.teacher is not None:
+                import asyncio
+
                 t0 = time.perf_counter()
                 pairs = [(body.query, r.text or r.doc_id) for r in results]
-                with span(SPAN_RERANK, n_pairs=len(pairs)):
-                    t_scores = state.teacher.score(
-                        pairs, batch_size=settings.teacher.batch_size
+                t_scores = None
+                try:
+                    # circuit breaker: the reference configured
+                    # rerank_timeout_ms but never enforced it
+                    # (reference: config.py:233, SURVEY.md 5.3)
+                    with span(SPAN_RERANK, n_pairs=len(pairs)):
+                        t_scores = await asyncio.wait_for(
+                            asyncio.to_thread(
+                                state.teacher.score,
+                                pairs,
+                                settings.teacher.batch_size,
+                            ),
+                            timeout=settings.search.rerank_timeout_ms / 1000.0,
+                        )
+                except asyncio.TimeoutError:
+                    logger.warning(
+                        f"rerank timed out after "
+                        f"{settings.search.rerank_timeout_ms}ms — degrading "
+                        "to bi-encoder ranking"
                     )
                 m.RERANK_LATENCY.observe(time.perf_counter() - t0)
-                order = sorted(
-                    range(len(results)), key=lambda i: -t_scores[i]
-                )
-                results = [
-                    SearchResult(
-                        doc_id=results[i].doc_id,
-                        text=results[i].text,
-                        score=float(t_scores[i]),
-                        rank=r + 1,
+                if t_scores is not None:
+                    order = sorted(
+                        range(len(results)), key=lambda i: -t_scores[i]
                     )
-                    for r, i in enumerate(order)
-                ]
-                reranked = True
+                    results = [
+                        SearchResult(
+                            doc_id=results[i].doc_id,
+                            text=results[i].text,
+                            score=float(t_scores[i]),
+                            rank=r + 1,
+                        )
+                        for r, i in enumerate(order)
+                    ]
+                    reranked = True
 
         results = results[: body.k]
         latency_ms = (time.perf_counter() - t_start) * 1000.0

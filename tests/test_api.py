@@ -209,6 +209,35 @@ class TestEndpoints:
         assert body["reranked"] is True
         assert body["total_results"] == 2
 
+    def test_rerank_timeout_degrades(self, monkeypatch, fake_student, temp_index_dir):
+        """The rerank circuit breaker: a slow teacher degrades the response
+        to bi-encoder ranking instead of hanging (reference configured
+        rerank_timeout_ms but never enforced it, SURVEY.md 5.3)."""
+        import time as _time
+
+        class SlowTeacher:
+            def score(self, pairs, batch_size=32):
+                _time.sleep(1.0)
+                return [0.0] * len(pairs)
+
+        monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+        monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: SlowTeacher())
+        settings = Settings.model_validate(
+            {"search": {"rerank_enabled": True, "rerank_timeout_ms": 50}}
+        )
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            tc.post("/index/load", json_body={"index_dir": str(temp_index_dir)})
+            r = tc.post(
+                "/search", json_body={"query": "q", "k": 2, "rerank": True}
+            )
+            assert r.status == 200
+            body = r.json()
+            assert body["reranked"] is False  # degraded, not hung
+            assert body["total_results"] == 2
+        finally:
+            tc.close()
+
     def test_index_load_missing_dir(self, client):
         r = client.post("/index/load", json_body={"index_dir": "/nope/nothing"})
         assert r.status == 400
