@@ -23,16 +23,18 @@ def mesh_shape_for(
     n_devices: int, data_parallel: int = -1, index_parallel: int = 1
 ) -> tuple[int, int]:
     """Resolve (data, index) axis sizes. ``data_parallel=-1`` means
-    "all devices not used by index_parallel"."""
+    "all devices not used by index_parallel". A mesh smaller than the
+    device count is allowed (it occupies the first dp*ip devices)."""
     if index_parallel < 1 or n_devices % index_parallel:
         raise ValueError(
             f"index_parallel={index_parallel} must divide device count {n_devices}"
         )
     if data_parallel == -1:
         data_parallel = n_devices // index_parallel
-    if data_parallel * index_parallel != n_devices:
+    if data_parallel * index_parallel > n_devices:
         raise ValueError(
-            f"mesh {data_parallel}x{index_parallel} != {n_devices} devices"
+            f"mesh {data_parallel}x{index_parallel} needs more than "
+            f"{n_devices} devices"
         )
     return data_parallel, index_parallel
 
@@ -46,5 +48,5 @@ def create_mesh(
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     dp, ip = mesh_shape_for(len(devices), data_parallel, index_parallel)
-    dev_array = np.asarray(devices).reshape(dp, ip)
+    dev_array = np.asarray(devices[: dp * ip]).reshape(dp, ip)
     return Mesh(dev_array, (data_axis, index_axis))

@@ -71,9 +71,41 @@ class AppState:
         self.student: StudentModel | None = None
         self.teacher: TeacherModel | None = None
         self.index_builder: IndexBuilder | None = None
+        self.sharded_index = None  # ShardedIndex when mesh.index_parallel > 1
         self.settings: Settings | None = None
         self.ready: bool = False
         self.search_batcher = None  # MicroBatcher when enabled
+
+    def search_index(self, q_emb, k: int):
+        """Route to the ICI-sharded engine when present, else single-chip."""
+        if self.sharded_index is not None:
+            return self.sharded_index.search(q_emb, k=k)
+        return self.index_builder.search(q_emb, k=k)
+
+    def maybe_shard_index(self, settings) -> None:
+        """Lift the loaded single-device index onto the mesh when
+        ``mesh.index_parallel > 1`` (ICI-sharded serving — the capability the
+        reference only described as future work, SURVEY.md 5.8). Texts and
+        doc ids stay host-side on the builder."""
+        if settings.mesh.index_parallel <= 1 or self.index_builder is None:
+            self.sharded_index = None
+            return
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(
+            data_parallel=1,
+            index_parallel=settings.mesh.index_parallel,
+            data_axis=settings.mesh.data_axis,
+            index_axis=settings.mesh.index_axis,
+        )
+        self.sharded_index = ShardedIndex.from_builder(
+            self.index_builder, mesh, axis=settings.mesh.index_axis
+        )
+        logger.info(
+            f"index sharded over {settings.mesh.index_parallel} chips "
+            f"({self.index_builder.ntotal} rows)"
+        )
 
     @property
     def index_loaded(self) -> bool:
@@ -169,6 +201,7 @@ def create_app(
                 state.teacher = None
         if preload_index_dir:
             state.index_builder = IndexBuilder().load(preload_index_dir)
+            state.maybe_shard_index(settings)
             m.INDEX_SIZE.set(state.index_builder.ntotal)
         # Warmup: trigger XLA compilation of the encode (and search, when an
         # index is preloaded) paths so the first request doesn't pay the
@@ -177,7 +210,7 @@ def create_app(
         try:
             warm = state.student.encode_queries(["warmup query"])
             if state.index_loaded:
-                state.index_builder.search(warm, k=settings.search.default_k)
+                state.search_index(warm, k=settings.search.default_k)
         except Exception:
             logger.exception("warmup failed (continuing)")
 
@@ -199,7 +232,7 @@ def create_app(
                 m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 with span(SPAN_INDEX_SEARCH, k=max_k, batch=len(queries)):
-                    scores, indices = state.index_builder.search(q_emb, k=max_k)
+                    scores, indices = state.search_index(q_emb, k=max_k)
                 m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
                 return [
                     (scores[i, :k], indices[i, :k])
@@ -322,7 +355,7 @@ def create_app(
             m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
             t0 = time.perf_counter()
             with span(SPAN_INDEX_SEARCH, k=chunk_k):
-                scores, indices = state.index_builder.search(q_emb, k=chunk_k)
+                scores, indices = state.search_index(q_emb, k=chunk_k)
             m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
             score_vec, idx_vec = scores[0], indices[0]
 
@@ -434,6 +467,7 @@ def create_app(
         with span(SPAN_LOAD_INDEX, dir=str(index_dir)):
             builder.load(index_dir)
         state.index_builder = builder
+        state.maybe_shard_index(settings)
         m.INDEX_SIZE.set(builder.ntotal)
         return Response(
             {"loaded": True, "index_size": builder.ntotal, "dir": str(index_dir)}
