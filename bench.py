@@ -22,7 +22,8 @@ t(iters) after a host readback that forces completion.
 Environment knobs:
   SSKD_BENCH_ROWS     corpus rows          (default 1_000_000)
   SSKD_BENCH_DIM      embedding dim        (default 384)
-  SSKD_BENCH_BATCH    query batch          (default 256)
+  SSKD_BENCH_BATCH    query batch          (default 1024 — the serving
+                      micro-batcher rides this amortization curve)
   SSKD_BENCH_K        top-k                (default 10)
   SSKD_BENCH_ITERS    slope iterations     (default 8)
 """
@@ -42,7 +43,7 @@ REFERENCE_QPS = 100.0  # FAISS HNSW ~10ms/query, serving hot path (BASELINE.md)
 def main() -> None:
     rows = int(os.environ.get("SSKD_BENCH_ROWS", 1_000_000))
     dim = int(os.environ.get("SSKD_BENCH_DIM", 384))
-    batch = int(os.environ.get("SSKD_BENCH_BATCH", 256))
+    batch = int(os.environ.get("SSKD_BENCH_BATCH", 1024))
     k = int(os.environ.get("SSKD_BENCH_K", 10))
     iters = int(os.environ.get("SSKD_BENCH_ITERS", 8))
 

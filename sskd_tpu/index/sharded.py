@@ -125,7 +125,6 @@ class ShardedIndex:
         rows_per_shard = self.rows_per_shard
         block = min(self.block_rows, rows_per_shard)
         has_scales = self._scales is not None
-        other_axes = [a for a in self.mesh.axis_names if a != axis]
 
         def local_search(queries, shard, shard_scales=None):
             my = jax.lax.axis_index(axis)
@@ -156,8 +155,6 @@ class ShardedIndex:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        # Replicate over any other mesh axes untouched by the search.
-        del other_axes
         return jax.jit(shmap)
 
     def search(self, query_emb: np.ndarray, k: int = 10):

@@ -174,6 +174,12 @@ def cosine_topk_pallas(
         valid_n = N
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # The unified score+index scratch costs B * (R + K_PAD) * 8 bytes of
+    # VMEM; shrink the block until it fits the ~16MB budget with headroom
+    # for the pipelined corpus block and queries.
+    VMEM_BUDGET = 10 * 1024 * 1024
+    while block_rows > 512 and B * (block_rows + K_PAD) * 8 > VMEM_BUDGET:
+        block_rows //= 2
 
     # pad corpus rows to a block multiple
     padded = (N + block_rows - 1) // block_rows * block_rows
