@@ -141,14 +141,20 @@ class KDTrainer:
 
     def _dev_ndcg(self, dev_samples: Sequence[KDSample], params) -> float:
         """In-candidate nDCG@10: each dev query ranks its own doc list
-        (positive at 0) with the current params."""
+        (positive at 0) with the current params. The candidate list is
+        capped to the training distribution (``num_docs_per_query``, at
+        least 10) — stage-1 mining attaches ~100 negatives per query, and
+        ranking all of them makes the dev task much harder than the
+        training task the early-stopping signal is meant to track."""
+        n_docs = max(self.cfg.num_docs_per_query, 10)
         old = self.student.params
         self.student.params = params
         try:
             vals = []
             for s in dev_samples:
+                docs = s.docs[:n_docs]
                 q = self.student.encode_queries([s.query])
-                d = self.student.encode_documents(s.docs)
+                d = self.student.encode_documents(docs)
                 order = np.argsort(-(q @ d.T)[0])
                 rel = [1.0 if i == 0 else 0.0 for i in order]
                 vals.append(ndcg_at_k(rel, k=10))

@@ -109,6 +109,8 @@ class StudentModel:
         if params is not None:
             self.params = params
         self._encode_jit = {}
+        self._mesh = None
+        self._mesh_axis = "data"
 
     # ------------------------------------------------------------------
     # Loading / saving
@@ -204,14 +206,33 @@ class StudentModel:
     def apply_fn(self):
         return self.module.apply
 
+    def set_mesh(self, mesh, axis: str = "data") -> None:
+        """Enable data-parallel encoding: batches shard over ``axis`` of
+        ``mesh`` (params replicated); corpus encoding for index builds
+        scales across chips. Pass ``None`` to go back to single-device."""
+        self._mesh = mesh
+        self._mesh_axis = axis
+        self._encode_jit.clear()
+
     def _encode_fn(self, length: int):
         import jax
 
         if length not in self._encode_jit:
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            @partial(jax.jit)
-            def fn(params, input_ids, attention_mask):
-                return self.module.apply(params, input_ids, attention_mask)
+                batch_sharding = NamedSharding(self._mesh, P(self._mesh_axis, None))
+                replicated = NamedSharding(self._mesh, P())
+                fn = jax.jit(
+                    lambda params, ids, mask: self.module.apply(params, ids, mask),
+                    in_shardings=(replicated, batch_sharding, batch_sharding),
+                    out_shardings=batch_sharding,
+                )
+            else:
+
+                @partial(jax.jit)
+                def fn(params, input_ids, attention_mask):
+                    return self.module.apply(params, input_ids, attention_mask)
 
             self._encode_jit[length] = fn
         return self._encode_jit[length]
@@ -249,6 +270,9 @@ class StudentModel:
             # bucket the BATCH dimension too: serving micro-batches arrive
             # at arbitrary sizes and every new size would recompile
             padded_n = bucket_length(n, batch_size)
+            if self._mesh is not None:
+                dp = self._mesh.shape[self._mesh_axis]
+                padded_n = -(-padded_n // dp) * dp  # divisible across shards
             if padded_n > n:
                 chunk = chunk + [""] * (padded_n - n)
             batch = self.tokenize_batch(chunk)

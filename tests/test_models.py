@@ -90,6 +90,21 @@ class TestStudentModel:
         np.testing.assert_allclose(a, b, atol=1e-6)
         assert loaded.embedding_dim == student.embedding_dim
 
+    def test_mesh_parallel_encode_parity(self, student):
+        import jax
+
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        assert jax.device_count() == 8
+        baseline = student.encode(CORPUS)
+        mesh = create_mesh(data_parallel=8, index_parallel=1)
+        student.set_mesh(mesh)
+        try:
+            sharded = student.encode(CORPUS)
+        finally:
+            student.set_mesh(None)
+        np.testing.assert_allclose(sharded, baseline, atol=2e-5)
+
     def test_cleanup(self, student):
         student.encode(["warm"])
         student.cleanup()
