@@ -72,6 +72,7 @@ class AppState:
         self.teacher: TeacherModel | None = None
         self.index_builder: IndexBuilder | None = None
         self.sharded_index = None  # ShardedIndex when mesh.index_parallel > 1
+        self.fused_searcher = None  # FusedSearcher on the single-device path
         self.settings: Settings | None = None
         self.ready: bool = False
         self.search_batcher = None  # MicroBatcher when enabled
@@ -81,6 +82,28 @@ class AppState:
         if self.sharded_index is not None:
             return self.sharded_index.search(q_emb, k=k)
         return self.index_builder.search(q_emb, k=k)
+
+    def search_texts(self, queries: list[str], k: int):
+        """Encode + search. One fused device dispatch on the single-device
+        path; two dispatches (encode, shard_map sweep) when sharded."""
+        if self.fused_searcher is not None and self.sharded_index is None:
+            return self.fused_searcher.search_texts(queries, k)
+        with span(SPAN_ENCODE_QUERY, batch=len(queries)):
+            q_emb = self.student.encode_queries(queries)
+        return self.search_index(q_emb, k=k)
+
+    def make_fused(self) -> None:
+        # requires a real Flax student (duck-typed test fakes lack .module)
+        if (
+            self.index_builder is not None
+            and self.sharded_index is None
+            and hasattr(self.student, "module")
+        ):
+            from sskd_tpu.serve.fused import FusedSearcher
+
+            self.fused_searcher = FusedSearcher(self.student, self.index_builder)
+        else:
+            self.fused_searcher = None
 
     def maybe_shard_index(self, settings) -> None:
         """Lift the loaded single-device index onto the mesh when
@@ -202,15 +225,35 @@ def create_app(
         if preload_index_dir:
             state.index_builder = IndexBuilder().load(preload_index_dir)
             state.maybe_shard_index(settings)
+            state.make_fused()
             m.INDEX_SIZE.set(state.index_builder.ntotal)
         # Warmup: trigger XLA compilation of the encode (and search, when an
         # index is preloaded) paths so the first request doesn't pay the
         # multi-second compile (keeps the reference's p95 CI gates honest,
-        # reference: ml-pipeline.yml:324-326).
+        # reference: ml-pipeline.yml:324-326). Batch buckets compile up
+        # front too — first-touch compiles mid-traffic stall coalesced
+        # requests.
         try:
-            warm = state.student.encode_queries(["warmup query"])
-            if state.index_loaded:
-                state.search_index(warm, k=settings.search.default_k)
+            if state.fused_searcher is not None:
+                state.fused_searcher.warmup(
+                    max_batch=settings.service.micro_batch_max_size,
+                    k=settings.search.default_k,
+                )
+            else:
+                warm = state.student.encode_queries(["warmup query"])
+                if state.index_loaded:
+                    state.search_index(warm, k=settings.search.default_k)
+                if settings.service.micro_batch_max_size > 1:
+                    bucket = 16
+                    while bucket <= min(settings.service.micro_batch_max_size, 64):
+                        warm_batch = state.student.encode_queries(
+                            ["warmup"] * bucket
+                        )
+                        if state.index_loaded:
+                            state.search_index(
+                                warm_batch, k=settings.search.default_k
+                            )
+                        bucket *= 2
         except Exception:
             logger.exception("warmup failed (continuing)")
 
@@ -227,12 +270,8 @@ def create_app(
                         max_k = bucket
                         break
                 t0 = time.perf_counter()
-                with span(SPAN_ENCODE_QUERY, batch=len(queries)):
-                    q_emb = state.student.encode_queries(queries)
-                m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
-                t0 = time.perf_counter()
                 with span(SPAN_INDEX_SEARCH, k=max_k, batch=len(queries)):
-                    scores, indices = state.search_index(q_emb, k=max_k)
+                    scores, indices = state.search_texts(queries, k=max_k)
                 m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
                 return [
                     (scores[i, :k], indices[i, :k])
@@ -350,12 +389,8 @@ def create_app(
             )
         else:
             t0 = time.perf_counter()
-            with span(SPAN_ENCODE_QUERY):
-                q_emb = state.student.encode_queries([body.query])
-            m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
-            t0 = time.perf_counter()
             with span(SPAN_INDEX_SEARCH, k=chunk_k):
-                scores, indices = state.search_index(q_emb, k=chunk_k)
+                scores, indices = state.search_texts([body.query], k=chunk_k)
             m.SEARCH_LATENCY.observe(time.perf_counter() - t0)
             score_vec, idx_vec = scores[0], indices[0]
 
@@ -468,6 +503,7 @@ def create_app(
             builder.load(index_dir)
         state.index_builder = builder
         state.maybe_shard_index(settings)
+        state.make_fused()
         m.INDEX_SIZE.set(builder.ntotal)
         return Response(
             {"loaded": True, "index_size": builder.ntotal, "dir": str(index_dir)}

@@ -1,0 +1,75 @@
+"""Fused encode+search: one device dispatch, identical results to the
+two-dispatch path."""
+
+import numpy as np
+import pytest
+
+from sskd_tpu.index.builder import IndexBuilder
+from sskd_tpu.models import BertConfig, StudentModel
+from sskd_tpu.serve.fused import FusedSearcher
+from sskd_tpu.tokenization import WordPieceTokenizer
+
+DOCS = [f"document about topic {i} with words {i}" for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def student():
+    tok = WordPieceTokenizer.build_from_corpus(
+        DOCS + ["query passage what find"], vocab_size=512
+    )
+    return StudentModel(
+        "tiny-fused", config=BertConfig.tiny(vocab_size=tok.vocab_size), tokenizer=tok
+    )
+
+
+@pytest.fixture(scope="module")
+def builder(student):
+    b = IndexBuilder(embedding_dim=student.embedding_dim, dtype="int8")
+    emb = student.encode_documents(DOCS)
+    b.build_from_arrays(emb, [f"d{i}" for i in range(len(DOCS))])
+    return b
+
+
+def test_fused_matches_unfused(student, builder):
+    fused = FusedSearcher(student, builder)
+    queries = ["find topic 3", "find topic 17"]
+    fv, fi = fused.search_texts(queries, k=5)
+    q_emb = student.encode_queries(queries)
+    uv, ui = builder.search(q_emb, k=5)
+    np.testing.assert_array_equal(fi, ui)
+    np.testing.assert_allclose(fv, uv, atol=1e-4)
+
+
+def test_fused_k_bucketing_slices(student, builder):
+    fused = FusedSearcher(student, builder)
+    v, i = fused.search_texts(["find topic 1"], k=3)
+    assert v.shape == (1, 3) and i.shape == (1, 3)
+
+
+def test_fused_warmup_and_cache(student, builder):
+    fused = FusedSearcher(student, builder)
+    fused.warmup(max_batch=16, k=10)
+    assert len(fused._jit_cache) >= 1
+    v, i = fused.search_texts(["warm check"], k=10)
+    assert v.shape == (1, 10)
+
+
+def test_serving_uses_fused_with_real_student(tmp_path, monkeypatch, student, builder):
+    import sskd_tpu.serve.app as app_module
+    from sskd_tpu.config import Settings
+    from sskd_tpu.serve.http import TestClient
+
+    builder.texts = [f"text {i}" for i in range(len(DOCS))]
+    idx_dir = tmp_path / "idx"
+    builder.save(idx_dir)
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: student)
+    tc = TestClient(
+        app_module.create_app(settings=Settings(), preload_index_dir=str(idx_dir))
+    )
+    try:
+        assert tc.app.state.fused_searcher is not None
+        r = tc.post("/search", json_body={"query": "find topic 5", "k": 4})
+        assert r.status == 200
+        assert r.json()["total_results"] == 4
+    finally:
+        tc.close()
