@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging()
     apply_platform(getattr(args, "platform", None), getattr(args, "cpu_devices", None))
 
+    # multi-host slices: no-op unless SSKD_COORDINATOR/SSKD_NUM_PROCESSES set
+    from sskd_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     from sskd_tpu.config import get_settings
 
     settings = get_settings()

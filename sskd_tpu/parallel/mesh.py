@@ -19,6 +19,35 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host initialization (`jax.distributed.initialize`) for
+    multi-slice TPU pods — intra-slice collectives ride ICI, cross-slice
+    rides DCN (SURVEY.md 5.8). Arguments default to the standard env vars
+    (``SSKD_COORDINATOR`` / ``SSKD_NUM_PROCESSES`` / ``SSKD_PROCESS_ID``; on
+    Cloud TPU the runtime autodetects and all three may be omitted).
+    Returns True when initialization ran. Single-host runs skip silently.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("SSKD_COORDINATOR")
+    if num_processes is None and "SSKD_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["SSKD_NUM_PROCESSES"])
+    if process_id is None and "SSKD_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["SSKD_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def mesh_shape_for(
     n_devices: int, data_parallel: int = -1, index_parallel: int = 1
 ) -> tuple[int, int]:
