@@ -20,3 +20,13 @@ def apply_platform(platform: str | None = None, cpu_devices: int | None = None) 
         jax.config.update("jax_platforms", platform)
     if cpu_devices:
         jax.config.update("jax_num_cpu_devices", cpu_devices)
+
+    # Persistent compilation cache: TPU service cold starts re-pay every
+    # encode/search compile otherwise. Opt-in via SSKD_COMPILATION_CACHE=dir.
+    cache_dir = os.environ.get("SSKD_COMPILATION_CACHE")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — older jax without these knobs
+            pass
