@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default=None, help="student model path")
     p.add_argument("--index", default=None, help="index dir to preload")
     p.add_argument("--device", default=None)
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="shard the index over N chips (mesh.index_parallel)",
+    )
     _add_platform_arg(p)
 
     p = sub.add_parser("export", help="quantized index-matrix / model export")
@@ -283,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
         from sskd_tpu.serve.app import create_app
         from sskd_tpu.serve.http import Server
 
+        if args.shards:
+            settings = settings.model_copy(deep=True)
+            settings.mesh.index_parallel = args.shards
         app = create_app(
             settings=settings,
             student_model_path=args.model,
