@@ -110,6 +110,10 @@ class Response:
         return head.encode() + b"\r\n" + self.body
 
 
+class PayloadTooLarge(ValueError):
+    """Body exceeds MAX_BODY_BYTES — surfaces as HTTP 413."""
+
+
 Handler = Callable[[Request], Awaitable[Response]]
 Middleware = Callable[[Request, Handler], Awaitable[Response]]
 
@@ -271,7 +275,7 @@ class Server:
             headers[key.strip().lower()] = value.strip()
         length = int(headers.get("content-length", "0") or "0")
         if length > MAX_BODY_BYTES:
-            raise ValueError("body too large")
+            raise PayloadTooLarge(f"body of {length} bytes exceeds {MAX_BODY_BYTES}")
         body = await reader.readexactly(length) if length else b""
         parsed = urllib.parse.urlsplit(target)
         query = dict(urllib.parse.parse_qsl(parsed.query))
@@ -286,6 +290,10 @@ class Server:
             while True:
                 try:
                     request = await self._read_request(reader)
+                except PayloadTooLarge as e:
+                    writer.write(Response({"error": str(e)}, status=413).encode())
+                    await writer.drain()
+                    break
                 except ValueError as e:
                     writer.write(Response({"error": str(e)}, status=400).encode())
                     await writer.drain()
