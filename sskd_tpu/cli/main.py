@@ -68,7 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--tiny", action="store_true", help="tiny architectures (demo/CI)")
-    p.add_argument("--data-parallel", type=int, default=1, help="DP mesh size")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="DP mesh size (default: mesh.data_parallel setting)")
     _add_platform_arg(p)
 
     p = sub.add_parser("index", help="vector index operations")
@@ -79,14 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--out", required=True)
     pb.add_argument("--batch-size", type=int, default=256)
     pb.add_argument("--max-docs", type=int, default=None)
-    pb.add_argument("--dtype", default="float32", choices=["float32", "int8"])
+    pb.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16", "int8"],
+                    help="default: index.dtype setting")
     pb.add_argument("--tiny", action="store_true")
     _add_platform_arg(pb)
     pv = index_sub.add_parser("validate", help="recall gate vs brute force")
     pv.add_argument("--dir", required=True)
-    pv.add_argument("--queries", type=int, default=1000)
+    pv.add_argument("--queries", type=int, default=None,
+                    help="default: index.validation_queries setting")
     pv.add_argument("--k", type=int, default=10)
-    pv.add_argument("--min-recall", type=float, default=0.97)
+    pv.add_argument("--min-recall", type=float, default=None,
+                    help="default: index.validation_recall_at_10 setting")
     _add_platform_arg(pv)
 
     p = sub.add_parser("eval", help="retrieval evaluation of a model over raw JSONL")
@@ -214,6 +219,9 @@ def main(argv: list[str] | None = None) -> int:
             student_config = BertConfig.tiny()
             teacher_config = BertConfig.tiny()
         mesh = None
+        if args.data_parallel is None:
+            dp_setting = settings.mesh.data_parallel
+            args.data_parallel = dp_setting if dp_setting > 0 else 1
         if args.data_parallel > 1:
             from sskd_tpu.parallel.mesh import create_mesh
 
@@ -239,7 +247,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.index_command == "build":
             student = _tiny_student(args.model, args.tiny)
             builder = IndexBuilder(
-                embedding_dim=student.embedding_dim, dtype=args.dtype
+                embedding_dim=student.embedding_dim,
+                dtype=args.dtype or settings.index.dtype,
+                index_type=settings.index.search_method,
+                metric=settings.index.metric,
+                block_rows=settings.index.block_rows,
+                recall_target=settings.index.recall_target,
             )
             builder.build_from_parquet(
                 student, args.data, batch_size=args.batch_size, max_docs=args.max_docs
@@ -249,8 +262,14 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.index_command == "validate":
             builder = IndexBuilder().load(args.dir)
-            report = builder.validate(n_queries=args.queries, k=args.k)
-            report["passed"] = report[f"recall@{args.k}"] >= args.min_recall
+            n_queries = args.queries or settings.index.validation_queries
+            min_recall = (
+                args.min_recall
+                if args.min_recall is not None
+                else settings.index.validation_recall_at_10
+            )
+            report = builder.validate(n_queries=n_queries, k=args.k)
+            report["passed"] = report[f"recall@{args.k}"] >= min_recall
             print(json.dumps(report, indent=2))
             return 0 if report["passed"] else 1
 

@@ -170,6 +170,8 @@ def run_train_pipeline(
         max_seq_length=settings.student.max_seq_length,
         query_prefix=settings.student.query_prefix,
         passage_prefix=settings.student.passage_prefix,
+        normalize=settings.student.normalize_embeddings,
+        pooling=settings.student.pooling,
     )
     teacher = None
     if stage >= 2:

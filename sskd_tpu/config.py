@@ -123,7 +123,6 @@ class IndexConfig(BaseModel):
     recall_target: float = Field(default=0.99, ge=0.5, le=1.0)
     block_rows: int = Field(default=262144, ge=128)
     default_k: int = Field(default=10, ge=1)
-    shard_axis: str = "index"
     validation_queries: int = Field(default=1000, ge=1)
     validation_recall_at_10: float = Field(default=0.97, ge=0.0, le=1.0)
 
@@ -186,7 +185,6 @@ class ServiceConfig(BaseModel):
 
     host: str = "0.0.0.0"
     port: int = Field(default=8000, ge=1, le=65535)
-    workers: int = Field(default=1, ge=1)
     environment: Literal["development", "staging", "production"] = "development"
     version: str = "0.1.0"
     # micro-batching of concurrent /search requests: window 0 = greedy
@@ -211,7 +209,6 @@ class DataConfig(BaseModel):
     """Reference: src/config.py:241-260."""
 
     data_dir: str = "data"
-    artifacts_dir: str = "artifacts"
     max_samples: int = Field(default=0, ge=0)  # 0 = all
     chunk_max_tokens: int = Field(default=512, ge=8)
     chunk_stride: int = Field(default=80, ge=0)

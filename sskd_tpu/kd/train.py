@@ -282,6 +282,31 @@ class KDTrainer:
                 for key in components:
                     components[key].append(float(aux[key]))
                 global_step += 1
+                # step-granular checkpoint / eval (training.save_steps /
+                # eval_steps; 0 disables — fields the reference declared but
+                # never wired, SURVEY.md 7.4)
+                if cfg.save_steps and global_step % cfg.save_steps == 0:
+                    mgr.save(
+                        global_step,
+                        args=ocp.args.StandardSave(
+                            {
+                                "params": params,
+                                "opt_state": opt_state,
+                                "step": global_step,
+                                "epoch": epoch,
+                                "best_metric": float(best_metric),
+                            }
+                        ),
+                    )
+                if (
+                    dev_samples
+                    and cfg.eval_steps
+                    and global_step % cfg.eval_steps == 0
+                ):
+                    step_ndcg = self._dev_ndcg(dev_samples, params)
+                    logger.info(
+                        f"step {global_step}: dev_ndcg@10={step_ndcg:.4f}"
+                    )
 
             record = {
                 "epoch": epoch + 1,
@@ -297,8 +322,13 @@ class KDTrainer:
                 **{k: float(np.mean(v)) for k, v in components.items()},
             }
 
+            # early_stopping_metric selects the signal: "ndcg@10" uses the
+            # dev set (when given), "loss" always watches train loss
+            # (the reference declared this field but hardwired train loss,
+            # SURVEY.md 7.4)
             if dev_samples:
                 record["dev_ndcg@10"] = self._dev_ndcg(dev_samples, params)
+            if dev_samples and cfg.early_stopping_metric != "loss":
                 metric = record["dev_ndcg@10"]
             else:
                 metric = -record["train_loss"]

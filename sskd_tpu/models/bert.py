@@ -222,18 +222,23 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 
 class BiEncoder(nn.Module):
-    """Student tower: encoder -> masked mean pool -> optional L2 norm.
-    Output ``[B, H]`` embeddings (reference contract SURVEY.md section 2.4)."""
+    """Student tower: encoder -> pooling (masked mean or CLS) -> optional
+    L2 norm. Output ``[B, H]`` embeddings (reference contract SURVEY.md
+    section 2.4; pooling knob reference: src/config.py:22-32)."""
 
     config: BertConfig
     normalize: bool = True
+    pooling: str = "mean"  # "mean" | "cls"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None, deterministic=True):
         hidden = BertEncoder(self.config, name="encoder")(
             input_ids, attention_mask, token_type_ids, deterministic
         )
-        emb = mean_pool(hidden, attention_mask)
+        if self.pooling == "cls":
+            emb = hidden[:, 0, :]
+        else:
+            emb = mean_pool(hidden, attention_mask)
         emb = emb.astype(jnp.float32)
         if self.normalize:
             emb = l2_normalize(emb)

@@ -59,6 +59,8 @@ class StudentModel:
         tokenizer: WordPieceTokenizer | None = None,
         params=None,
         normalize: bool = True,
+        pooling: str = "mean",
+        compute_dtype=None,
         max_seq_length: int = 512,
         query_prefix: str = "query: ",
         passage_prefix: str = "passage: ",
@@ -74,6 +76,8 @@ class StudentModel:
         except RuntimeError:
             self.device = "cpu"
         self.normalize = normalize
+        self.pooling = pooling
+        self._compute_dtype = compute_dtype
         self.max_seq_length = max_seq_length
         self.query_prefix = query_prefix
         self.passage_prefix = passage_prefix
@@ -96,7 +100,7 @@ class StudentModel:
                 else BertConfig.tiny()
             )
             self.tokenizer = tokenizer or get_default_tokenizer()
-            self.module = BiEncoder(self.config, normalize=self.normalize)
+            self.module = self._make_module()
             rng = jax.random.PRNGKey(seed)
             dummy = np.zeros((1, 8), np.int32)
             self.params = self.module.init(rng, dummy, np.ones_like(dummy))
@@ -116,6 +120,15 @@ class StudentModel:
     # Loading / saving
     # ------------------------------------------------------------------
 
+    def _make_module(self) -> BiEncoder:
+        if self._compute_dtype is not None and (
+            self.config.compute_dtype != self._compute_dtype
+        ):
+            from dataclasses import replace
+
+            self.config = replace(self.config, compute_dtype=self._compute_dtype)
+        return BiEncoder(self.config, normalize=self.normalize, pooling=self.pooling)
+
     def _load_own_checkpoint(self, path: Path) -> None:
         from flax import serialization
         import jax
@@ -126,11 +139,12 @@ class StudentModel:
         arch.pop("compute_dtype", None)
         self.config = BertConfig(**arch)
         self.normalize = meta.get("normalize", True)
+        self.pooling = meta.get("pooling", "mean")
         self.max_seq_length = meta.get("max_seq_length", 512)
         self.query_prefix = meta.get("query_prefix", self.query_prefix)
         self.passage_prefix = meta.get("passage_prefix", self.passage_prefix)
         self.tokenizer = WordPieceTokenizer.from_pretrained_dir(path / "tokenizer")
-        self.module = BiEncoder(self.config, normalize=self.normalize)
+        self.module = self._make_module()
         dummy = np.zeros((1, 8), np.int32)
         template = self.module.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
         with open(path / "params.msgpack", "rb") as f:
@@ -147,7 +161,7 @@ class StudentModel:
         sd, hf_cfg = load_hf_checkpoint(path)
         self.config = hf_config_to_bert_config(hf_cfg)
         self.params = convert_bi_encoder(sd, self.config)
-        self.module = BiEncoder(self.config, normalize=self.normalize)
+        self.module = self._make_module()
         vocab = path / "vocab.txt"
         if vocab.exists():
             self.tokenizer = WordPieceTokenizer.from_pretrained_dir(path)
@@ -181,6 +195,7 @@ class StudentModel:
             "model_name": self.model_name,
             "architecture": arch,
             "normalize": self.normalize,
+            "pooling": self.pooling,
             "max_seq_length": self.max_seq_length,
             "query_prefix": self.query_prefix,
             "passage_prefix": self.passage_prefix,

@@ -199,12 +199,17 @@ def create_app(
         t0 = time.perf_counter()
         try:
             with span(SPAN_LOAD_MODEL, model=settings.student.model_name):
+                import jax.numpy as jnp
+
                 state.student = StudentModel(
                     settings.student.model_name,
                     device=device,
                     max_seq_length=settings.student.max_seq_length,
                     query_prefix=settings.student.query_prefix,
                     passage_prefix=settings.student.passage_prefix,
+                    normalize=settings.student.normalize_embeddings,
+                    pooling=settings.student.pooling,
+                    compute_dtype=getattr(jnp, settings.precision.compute_dtype),
                 )
         except Exception:
             logger.exception("student model load failed — fatal")
@@ -360,16 +365,26 @@ def create_app(
     async def live(request: Request) -> Response:
         return Response({"alive": True})
 
-    @app.get("/metrics")
-    async def metrics_route(request: Request) -> Response:
-        return Response(
-            m.render(), media_type="text/plain; version=0.0.4; charset=utf-8"
-        )
+    if settings.monitoring.prometheus_enabled:
+
+        @app.route("GET", settings.monitoring.prometheus_path)
+        async def metrics_route(request: Request) -> Response:
+            return Response(
+                m.render(), media_type="text/plain; version=0.0.4; charset=utf-8"
+            )
 
     @app.post("/search")
     async def search(request: Request) -> Response:
         t_start = time.perf_counter()
         body = SearchRequest.model_validate(request.json())
+        if body.k > settings.search.max_k:
+            return Response(
+                {
+                    "error": "VALIDATION_ERROR",
+                    "detail": f"k={body.k} exceeds search.max_k={settings.search.max_k}",
+                },
+                status=422,
+            )
         if not state.ready or state.student is None:
             return Response({"error": "service not ready"}, status=503)
         if not state.index_loaded:
