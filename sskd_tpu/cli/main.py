@@ -321,6 +321,9 @@ def main(argv: list[str] | None = None) -> int:
             app,
             host=args.host or settings.service.host,
             port=args.port or settings.service.port,
+            read_timeout=settings.service.read_timeout_s,
+            idle_timeout=settings.service.idle_timeout_s,
+            max_connections=settings.service.max_connections,
         ).run()
         return 0
 

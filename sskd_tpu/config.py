@@ -192,6 +192,10 @@ class ServiceConfig(BaseModel):
     # window to trade p50 for throughput under bursty load
     micro_batch_window_ms: float = Field(default=0.0, ge=0.0)
     micro_batch_max_size: int = Field(default=64, ge=1)
+    # connection hardening (the reference delegated these to uvicorn)
+    read_timeout_s: float = Field(default=30.0, gt=0.0)
+    idle_timeout_s: float = Field(default=75.0, gt=0.0)
+    max_connections: int = Field(default=1024, ge=1)
 
 
 class SearchConfig(BaseModel):

@@ -85,14 +85,28 @@ class KDTrainer:
         loss_cfg = self.loss_cfg
         tx = self._tx
 
-        def step_fn(params, opt_state, batch, progress):
+        def step_fn(params, opt_state, batch, progress, rng):
+            # Dropout is ACTIVE during training (deterministic=False) with a
+            # per-step rng — the reference trained with dropout 0.1 via torch
+            # train mode (reference: src/kd/train.py:127); eval/encode paths
+            # stay deterministic.
+            q_rng, d_rng = jax.random.split(rng)
+
             def loss_fn(p):
-                q_emb = module.apply(p, batch["query_ids"], batch["query_mask"])
+                q_emb = module.apply(
+                    p,
+                    batch["query_ids"],
+                    batch["query_mask"],
+                    deterministic=False,
+                    rngs={"dropout": q_rng},
+                )
                 B, N, L = batch["doc_ids"].shape
                 d_emb = module.apply(
                     p,
                     batch["doc_ids"].reshape(B * N, L),
                     batch["doc_mask"].reshape(B * N, L),
+                    deterministic=False,
+                    rngs={"dropout": d_rng},
                 ).reshape(B, N, -1)
                 scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
                 temp = temperature_at(
@@ -129,6 +143,7 @@ class KDTrainer:
                     replicated,
                     batch_sharding,
                     replicated,
+                    replicated,
                 ),
                 out_shardings=(replicated, replicated, replicated),
                 donate_argnums=(0, 1),
@@ -150,12 +165,20 @@ class KDTrainer:
         old = self.student.params
         self.student.params = params
         try:
-            vals = []
-            for s in dev_samples:
-                docs = s.docs[:n_docs]
-                q = self.student.encode_queries([s.query])
-                d = self.student.encode_documents(docs)
-                order = np.argsort(-(q @ d.T)[0])
+            # Batched: ONE padded encode for all queries and ONE for all docs
+            # (the reference's per-query eval hot loop, ref eval.py/train.py:176,
+            # is the exact sin this trainer exists to kill).
+            doc_lists = [s.docs[:n_docs] for s in dev_samples]
+            flat_docs = [d for docs in doc_lists for d in docs]
+            if not flat_docs:
+                return 0.0
+            q = self.student.encode_queries([s.query for s in dev_samples])
+            d = self.student.encode_documents(flat_docs)
+            vals, offset = [], 0
+            for qi, docs in enumerate(doc_lists):
+                scores = q[qi] @ d[offset : offset + len(docs)].T
+                offset += len(docs)
+                order = np.argsort(-scores)
                 rel = [1.0 if i == 0 else 0.0 for i in order]
                 vals.append(ndcg_at_k(rel, k=10))
             return float(np.mean(vals)) if vals else 0.0
@@ -247,6 +270,7 @@ class KDTrainer:
             )
 
         history: list[dict] = []
+        dropout_rng = jax.random.PRNGKey(cfg.seed)
         epochs_without_improvement = 0
         refresh_every = self.settings.mining.ance_refresh_every_n_steps
         last_refresh_step = global_step
@@ -273,10 +297,11 @@ class KDTrainer:
                 cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
             ):
                 progress = jnp.float32(global_step / max(1, total_steps - 1))
+                step_rng = jax.random.fold_in(dropout_rng, global_step)
                 if self.mesh is not None:
                     batch = jax.device_put(batch, self._batch_sharding)
                 params, opt_state, aux = self._train_step(
-                    params, opt_state, batch, progress
+                    params, opt_state, batch, progress, step_rng
                 )
                 losses.append(float(aux["loss"]))
                 for key in components:

@@ -113,7 +113,26 @@ class SelfAttention(nn.Module):
 
         from sskd_tpu.ops.attention import scaled_dot_attention
 
-        ctx = scaled_dot_attention(q, k, v, attn_bias)
+        if not deterministic and cfg.attention_dropout > 0.0:
+            # Training path: materialized-probs attention so dropout can hit
+            # the attention probabilities (HF BERT semantics; the reference
+            # trained with dropout active, reference: src/kd/train.py:127).
+            # The flash kernel is inference-only and never sees dropout.
+            d_head = q.shape[-1]
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+            scores = scores + attn_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=False)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                probs.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+        else:
+            ctx = scaled_dot_attention(q, k, v, attn_bias)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
         out = nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype, name="output")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)

@@ -84,9 +84,10 @@ class AppState:
         return self.index_builder.search(q_emb, k=k)
 
     def search_texts(self, queries: list[str], k: int):
-        """Encode + search. One fused device dispatch on the single-device
-        path; two dispatches (encode, shard_map sweep) when sharded."""
-        if self.fused_searcher is not None and self.sharded_index is None:
+        """Encode + search in ONE fused device dispatch — on both the
+        single-device path and the ICI-sharded path (encode replicated,
+        sweep under shard_map)."""
+        if self.fused_searcher is not None:
             return self.fused_searcher.search_texts(queries, k)
         with span(SPAN_ENCODE_QUERY, batch=len(queries)):
             q_emb = self.student.encode_queries(queries)
@@ -94,16 +95,19 @@ class AppState:
 
     def make_fused(self) -> None:
         # requires a real Flax student (duck-typed test fakes lack .module)
-        if (
-            self.index_builder is not None
-            and self.sharded_index is None
-            and hasattr(self.student, "module")
-        ):
+        if self.index_builder is None or not hasattr(self.student, "module"):
+            self.fused_searcher = None
+            return
+        if self.sharded_index is not None:
+            from sskd_tpu.serve.fused import ShardedFusedSearcher
+
+            self.fused_searcher = ShardedFusedSearcher(
+                self.student, self.sharded_index
+            )
+        else:
             from sskd_tpu.serve.fused import FusedSearcher
 
             self.fused_searcher = FusedSearcher(self.student, self.index_builder)
-        else:
-            self.fused_searcher = None
 
     def maybe_shard_index(self, settings) -> None:
         """Lift the loaded single-device index onto the mesh when

@@ -18,17 +18,20 @@ from typing import Sequence
 import numpy as np
 
 
-def _dcg(labels: np.ndarray) -> float:
+def _dcg(labels: np.ndarray, exponential: bool = False) -> float:
     if labels.size == 0:
         return 0.0
     discounts = 1.0 / np.log2(np.arange(2, labels.size + 2))
-    return float(np.sum((np.power(2.0, labels) - 1.0) * discounts))
+    gains = np.power(2.0, labels) - 1.0 if exponential else labels
+    return float(np.sum(gains * discounts))
 
 
 def ndcg_at_k(relevances: Sequence[float], k: int = 10) -> float:
-    """nDCG@k with IDCG over the retrieved labels only (reference parity,
-    src/utils/metrics.py:11-37). ``relevances`` are the graded labels of the
-    retrieved docs in rank order."""
+    """nDCG@k matching the reference exactly: LINEAR gain (rel / log2) and
+    IDCG over the retrieved labels only (reference: src/utils/metrics.py:27-37).
+    ``relevances`` are the graded labels of the retrieved docs in rank order.
+    Identical to the exponential-gain variant for binary labels; for graded
+    labels use ``ndcg_at_k_standard`` for the TREC-style number."""
     rel = np.asarray(relevances, dtype=np.float64)[:k]
     dcg = _dcg(rel)
     ideal = _dcg(np.sort(rel)[::-1])
@@ -40,12 +43,14 @@ def ndcg_at_k(relevances: Sequence[float], k: int = 10) -> float:
 def ndcg_at_k_standard(
     relevances: Sequence[float], all_relevances: Sequence[float], k: int = 10
 ) -> float:
-    """Textbook nDCG@k: IDCG from the global ideal ranking over
-    ``all_relevances`` (every relevant label for the query, retrieved or not)."""
+    """Textbook/TREC nDCG@k: exponential gain (2^rel - 1) and IDCG from the
+    global ideal ranking over ``all_relevances`` (every relevant label for the
+    query, retrieved or not) — the two deliberate divergences from the
+    reference's variant, reported alongside it (SURVEY.md section 7.4)."""
     rel = np.asarray(relevances, dtype=np.float64)[:k]
     ideal_pool = np.sort(np.asarray(all_relevances, dtype=np.float64))[::-1][:k]
-    dcg = _dcg(rel)
-    ideal = _dcg(ideal_pool)
+    dcg = _dcg(rel, exponential=True)
+    ideal = _dcg(ideal_pool, exponential=True)
     if ideal == 0.0:
         return 0.0
     return dcg / ideal

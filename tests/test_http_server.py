@@ -87,3 +87,90 @@ def test_post_roundtrip(server_port):
 
     assert json.loads(resp.read())["len"] == 100
     conn.close()
+
+
+@pytest.fixture(scope="module")
+def strict_server():
+    """Server with tight timeouts and a 2-connection cap for hardening tests
+    (VERDICT round-1 weak #6: slow clients, connection caps, drain)."""
+    app = App()
+
+    @app.get("/ping")
+    async def ping(request: Request) -> Response:
+        return Response({"pong": True})
+
+    port = 18972
+    server = Server(
+        app,
+        host="127.0.0.1",
+        port=port,
+        read_timeout=0.4,
+        idle_timeout=0.4,
+        max_connections=2,
+    )
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve())
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    time.sleep(0.5)
+    yield port, server, loop
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_slow_client_reaped_with_408(strict_server):
+    import socket
+
+    port, _, _ = strict_server
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+        s.sendall(b"GET /ping HTTP/1.1\r\n")  # half a request, then stall
+        s.settimeout(5)
+        data = s.recv(4096)
+    assert b"408" in data.split(b"\r\n")[0]
+
+
+def test_idle_keepalive_closed_silently(strict_server):
+    import socket
+
+    port, _, _ = strict_server
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+        s.sendall(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+        s.settimeout(5)
+        first = s.recv(4096)
+        assert b"200" in first.split(b"\r\n")[0]
+        # no second request: idle timeout closes the connection (EOF, no 408)
+        rest = s.recv(4096)
+    assert rest == b""
+
+
+def test_connection_cap_503(strict_server):
+    import socket
+
+    port, _, _ = strict_server
+    held = [
+        socket.create_connection(("127.0.0.1", port), timeout=5) for _ in range(2)
+    ]
+    try:
+        # both held sockets count as active connections; the third is refused
+        time.sleep(0.05)
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.settimeout(5)
+            data = s.recv(4096)
+        assert b"503" in data.split(b"\r\n")[0]
+    finally:
+        for s in held:
+            s.close()
+
+
+def test_graceful_shutdown_drains(strict_server):
+    port, server, loop = strict_server
+    # run the drain on the server's own loop
+    fut = asyncio.run_coroutine_threadsafe(server.shutdown(drain_timeout=2.0), loop)
+    fut.result(timeout=5)
+    import socket
+
+    with pytest.raises(OSError):
+        socket.create_connection(("127.0.0.1", port), timeout=1)

@@ -162,6 +162,55 @@ class TestKDTrainer:
         assert len(calls) == 2
         assert calls[0] is student
 
+    def _manual_step(self, trainer, student, rng_seed):
+        """Build the train step and run it once with a given dropout seed,
+        without donating the student's live buffers."""
+        import jax
+        import jax.numpy as jnp
+
+        ds = KDDataset(
+            _make_samples(4), student.tokenizer, num_docs=4, query_len=16, doc_len=16
+        )
+        batch = next(ds.batches(4, shuffle=False))
+        params = jax.tree.map(jnp.copy, student.params)
+        opt_state = trainer._tx.init(params)
+        _, _, aux = trainer._train_step(
+            params, opt_state, batch, jnp.float32(0.0), jax.random.PRNGKey(rng_seed)
+        )
+        return float(aux["loss"])
+
+    def test_dropout_active_in_train_step(self, student):
+        # default tiny config has dropout 0.1 -> different dropout keys give
+        # different losses (dropout actually wired, VERDICT round-1 item 2)
+        trainer = KDTrainer(student, self._settings())
+        trainer._tx = trainer._make_optimizer(10)
+        trainer._train_step = trainer._build_train_step()
+        losses = {self._manual_step(trainer, student, seed) for seed in (1, 2)}
+        assert len(losses) == 2, "dropout keys had no effect on the loss"
+
+    def test_zero_dropout_is_deterministic(self, tokenizer):
+        student = StudentModel(
+            model_name="tiny-nodrop",
+            config=BertConfig.tiny(
+                vocab_size=tokenizer.vocab_size,
+                hidden_dropout=0.0,
+                attention_dropout=0.0,
+            ),
+            tokenizer=tokenizer,
+        )
+        trainer = KDTrainer(student, self._settings())
+        trainer._tx = trainer._make_optimizer(10)
+        trainer._train_step = trainer._build_train_step()
+        l1 = self._manual_step(trainer, student, 1)
+        l2 = self._manual_step(trainer, student, 2)
+        assert l1 == l2
+
+    def test_encode_stays_deterministic(self, student):
+        # eval/encode path never sees dropout regardless of config rates
+        e1 = student.encode(["alpha beta gamma"])
+        e2 = student.encode(["alpha beta gamma"])
+        np.testing.assert_array_equal(e1, e2)
+
     def test_data_parallel_mesh_step(self, student, tmp_path):
         import jax
 
