@@ -1,57 +1,118 @@
 #!/usr/bin/env bash
-# Demo pipeline (reference: scripts/run_demo_pipeline.sh — 200 samples,
-# 2 epochs, bs 4, stage 1, CPU): vanilla eval -> KD train -> KD eval ->
-# markdown report. Runs fully offline on the bundled synthetic dataset.
+# Demo pipeline + KD ablation (reference: scripts/run_demo_pipeline.sh,
+# acceptance gate: scripts/evaluate_and_compare.py:129-134).
+#
+# Unlike the reference demo (which distilled from a hub-pretrained teacher),
+# this zero-egress pipeline first TRAINS the tiny cross-encoder teacher on
+# the synthetic relevance labels, then runs a three-arm ablation so the
+# distillation signal is isolated from plain contrastive training:
+#
+#   vanilla      — untrained student (same init + tokenizer as the KD run)
+#   contrastive  — loss weights 0/0/1: positive-vs-negatives only,
+#                  no teacher signal in the loss
+#   kd_student   — full 60/20/20 Margin-MSE + listwise KL + InfoNCE recipe
+#
+# All three are evaluated on a held-out TEST split (model selection uses the
+# separate VALIDATION split); the teacher's own retrieval quality gates the
+# KD student at >= 95% of teacher nDCG@10. Expected ordering:
+# kd_student > contrastive > vanilla, gate PASSED.
 set -euo pipefail
 
 cd "$(dirname "$0")/.."
 export SSKD_PLATFORM=${SSKD_PLATFORM:-cpu}
 
 SAMPLES=${SAMPLES:-200}
-EPOCHS=${EPOCHS:-2}
+TEACHER_STEPS=${TEACHER_STEPS:-1500}
+TEACHER_LR=${TEACHER_LR:-5e-4}
+EPOCHS=${EPOCHS:-8}
 BATCH=${BATCH:-4}
-STAGE=${STAGE:-1}
+STAGE=${STAGE:-2}
 WORK=${WORK:-artifacts/demo}
 # tiny demo model + few steps need a demo-scale learning rate; the
-# production default (2e-5) moves weights invisibly in 2 epochs
+# production default (2e-5) moves weights invisibly in a few epochs
 export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.005}
-# the demo teacher is untrained (zero-egress host): its confidences sit at
-# ~0.5, so the production threshold (0.6) would filter every negative
+# keep every teacher-scored candidate as a soft-labeled negative: filtering
+# at the production threshold (0.6) throws away exactly the graded scores
+# the KD losses distill from
 export SEMANTIC_KD_MINING__TEACHER_CONFIDENCE_THRESHOLD=${TEACHER_CONF:-0.0}
 
 run() { python -m sskd_tpu.cli.main "$@"; }
 
-echo "=== [1/5] demo data + prepare ==="
-run demo-data --out "$WORK/data/raw/demo" --samples "$SAMPLES" > /dev/null
+echo "=== [1/7] demo data (train/validation/test) + prepare ==="
+run demo-data --out "$WORK/data/raw/demo" --samples "$SAMPLES" \
+  --splits train=0.7,validation=0.15,test=0.15 > /dev/null
 run prepare --data-dir "$WORK/data" --dataset demo > /dev/null
 
-echo "=== [2/5] vanilla baseline eval ==="
-run eval --tiny --model vanilla-student \
-  --data "$WORK/data/raw/demo/train.jsonl" --max-samples 50 \
-  --out "$WORK/vanilla_metrics.json" > /dev/null
+echo "=== [2/7] train the cross-encoder teacher ($TEACHER_STEPS steps) ==="
+run train-teacher --data-dir "$WORK/data" --dataset demo \
+  --out "$WORK/teacher" --steps "$TEACHER_STEPS" --lr "$TEACHER_LR" \
+  --batch-size 64 --tiny
 
-echo "=== [3/5] KD training (stage $STAGE, $EPOCHS epochs, bs $BATCH) ==="
+echo "=== [3/7] teacher retrieval quality (test split) ==="
+run eval --model "$WORK/teacher" --teacher \
+  --data "$WORK/data/raw/demo/test.jsonl" --max-samples "$SAMPLES" \
+  --out "$WORK/teacher_metrics.json" > /dev/null
+
+echo "=== [4/7] full-KD student (stage $STAGE, $EPOCHS epochs) ==="
+SEMANTIC_KD_TEACHER__MODEL_NAME="$WORK/teacher" \
 run train --tiny --data-dir "$WORK/data" --dataset demo \
-  --output-dir "$WORK/run" --stage "$STAGE" --epochs "$EPOCHS" \
-  --batch-size "$BATCH"
+  --output-dir "$WORK/run_kd" --stage "$STAGE" --epochs "$EPOCHS" \
+  --batch-size "$BATCH" --save-init "$WORK/vanilla" \
+  --dev-data "$WORK/data/raw/demo/validation.jsonl"
 
-echo "=== [4/5] KD student eval ==="
-run eval --model "$WORK/run/best_model" \
-  --data "$WORK/data/raw/demo/train.jsonl" --max-samples 50 \
-  --out "$WORK/kd_metrics.json" > /dev/null
+echo "=== [5/7] contrastive-only ablation (loss 0/0/1, same negatives) ==="
+mkdir -p "$WORK/run_contrastive"
+cp "$WORK/run_kd/mined_stage${STAGE}.json" "$WORK/run_contrastive/"
+SEMANTIC_KD_TEACHER__MODEL_NAME="$WORK/teacher" \
+SEMANTIC_KD_LOSS__MARGIN_MSE_WEIGHT=0.0 \
+SEMANTIC_KD_LOSS__LISTWISE_KD_WEIGHT=0.0 \
+SEMANTIC_KD_LOSS__CONTRASTIVE_WEIGHT=1.0 \
+run train --tiny --data-dir "$WORK/data" --dataset demo \
+  --output-dir "$WORK/run_contrastive" --stage "$STAGE" --epochs "$EPOCHS" \
+  --batch-size "$BATCH" \
+  --dev-data "$WORK/data/raw/demo/validation.jsonl"
 
-echo "=== [5/5] report ==="
+echo "=== [6/7] test-split evals ==="
+for arm in vanilla:"$WORK/vanilla" contrastive:"$WORK/run_contrastive/best_model" \
+           kd_student:"$WORK/run_kd/best_model"; do
+  name="${arm%%:*}"; model="${arm#*:}"
+  run eval --model "$model" --data "$WORK/data/raw/demo/test.jsonl" \
+    --max-samples "$SAMPLES" --out "$WORK/${name}_metrics.json" > /dev/null
+done
+
+echo "=== [7/7] report + acceptance gate (KD >= 95% of teacher) ==="
 python - "$WORK" <<'EOF'
 import json, sys
 from pathlib import Path
 work = Path(sys.argv[1])
-vanilla = json.loads((work / "vanilla_metrics.json").read_text())
-kd = json.loads((work / "kd_metrics.json").read_text())
-lines = ["# KD demo report", "", "| metric | vanilla | kd_student | delta |", "|---|---|---|---|"]
-for key in sorted(set(vanilla) & set(kd)):
-    lines.append(f"| {key} | {vanilla[key]:.4f} | {kd[key]:.4f} | {kd[key]-vanilla[key]:+.4f} |")
-report = "\n".join(lines) + "\n"
+arms = ["vanilla", "contrastive", "kd_student", "teacher"]
+metrics = {a: json.loads((work / f"{a}_metrics.json").read_text()) for a in arms}
+keys = ["ndcg@10", "mrr@10", "recall@10", "ndcg@20"]
+lines = [
+    "# KD demo report (three-arm ablation, held-out test split)",
+    "",
+    "| metric | vanilla | contrastive-only | kd_student | teacher |",
+    "|---|---|---|---|---|",
+]
+for key in keys:
+    if all(key in metrics[a] for a in arms):
+        lines.append(
+            f"| {key} | " + " | ".join(f"{metrics[a][key]:.4f}" for a in arms) + " |"
+        )
+kd, con, van, tea = (metrics[a]["ndcg@10"] for a in ("kd_student", "contrastive", "vanilla", "teacher"))
+ordering_ok = kd > con > van
+gate_ok = kd >= 0.95 * tea
+lines += [
+    "",
+    f"- distillation lift over contrastive-only: **{kd - con:+.4f}** nDCG@10",
+    f"- ablation ordering kd > contrastive > vanilla: **{'OK' if ordering_ok else 'VIOLATED'}**",
+    f"- acceptance gate kd >= 95% of teacher ({0.95 * tea:.4f}): **{'PASSED' if gate_ok else 'FAILED'}**",
+    "",
+]
+report = "\n".join(lines)
 (work / "KD_REPORT.md").write_text(report)
 print(report)
+if not (ordering_ok and gate_ok):
+    sys.exit(1)
 EOF
 echo "report: $WORK/KD_REPORT.md"

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="data/raw/demo")
     p.add_argument("--samples", type=int, default=200)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--splits",
+        default="train=0.8,validation=0.2",
+        help="name=fraction list, e.g. train=0.7,validation=0.15,test=0.15",
+    )
     _add_platform_arg(p)
 
     p = sub.add_parser("prepare", help="chunk raw JSONL to parquet")
@@ -68,8 +73,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--tiny", action="store_true", help="tiny architectures (demo/CI)")
+    p.add_argument(
+        "--save-init",
+        default=None,
+        help="save the untrained student here before training (the fair "
+        "'vanilla' baseline for KD ablations)",
+    )
+    p.add_argument(
+        "--dev-data",
+        default=None,
+        help="held-out raw JSONL: full-corpus retrieval nDCG@10 on it drives "
+        "early stopping and best-model selection",
+    )
     p.add_argument("--data-parallel", type=int, default=None,
                    help="DP mesh size (default: mesh.data_parallel setting)")
+    _add_platform_arg(p)
+
+    p = sub.add_parser(
+        "train-teacher",
+        help="train the cross-encoder teacher on relevance labels "
+        "(zero-egress stand-in for the hub-pretrained reranker)",
+    )
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--dataset", default="demo")
+    p.add_argument("--out", required=True, help="teacher checkpoint dir")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--max-len", type=int, default=64)
+    p.add_argument("--tiny", action="store_true")
     _add_platform_arg(p)
 
     p = sub.add_parser("index", help="vector index operations")
@@ -100,14 +133,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-samples", type=int, default=200)
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument(
+        "--teacher",
+        action="store_true",
+        help="the model is a cross-encoder teacher checkpoint (ranks by pair scoring)",
+    )
+    _add_platform_arg(p)
+
+    p = sub.add_parser(
+        "eval-beir",
+        help="doc-level retrieval eval over a prepared BEIR corpus "
+        "(chunk top-k + MaxSim doc aggregation)",
+    )
+    p.add_argument("--model", required=True)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--dataset", required=True, help="e.g. fiqa / scifact / trec-covid")
+    p.add_argument("--max-queries", type=int, default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--tiny", action="store_true")
     _add_platform_arg(p)
 
     p = sub.add_parser("compare", help="3-way compare + acceptance gate")
     p.add_argument("--kd-model", required=True)
     p.add_argument("--vanilla-model", required=True)
+    p.add_argument(
+        "--teacher-model",
+        default=None,
+        help="teacher checkpoint: adds the teacher row and enforces the "
+        ">=95%%-of-teacher acceptance gate (reference: evaluate_and_compare.py:129-134)",
+    )
     p.add_argument("--data", required=True)
     p.add_argument("--max-samples", type=int, default=200)
     p.add_argument("--out", default=None)
+    p.add_argument("--gate-ratio", type=float, default=0.95)
     p.add_argument("--tiny", action="store_true")
     _add_platform_arg(p)
 
@@ -182,7 +240,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "demo-data":
         from sskd_tpu.data.demo import generate_demo_dataset
 
-        manifest = generate_demo_dataset(args.out, num_samples=args.samples, seed=args.seed)
+        split_spec = [part.split("=") for part in args.splits.split(",")]
+        manifest = generate_demo_dataset(
+            args.out,
+            num_samples=args.samples,
+            seed=args.seed,
+            splits=tuple(name for name, _ in split_spec),
+            split_fractions=tuple(float(f) for _, f in split_spec),
+        )
         print(json.dumps(manifest, indent=2))
         return 0
 
@@ -237,8 +302,55 @@ def main(argv: list[str] | None = None) -> int:
             student_config=student_config,
             teacher_config=teacher_config,
             mesh=mesh,
+            save_init_to=args.save_init,
+            dev_data=args.dev_data,
         )
         print(json.dumps({k: v for k, v in result.items() if k != "history"}, indent=2))
+        return 0
+
+    if args.command == "train-teacher":
+        from sskd_tpu.data.registry import get_raw_path
+        from sskd_tpu.kd.teacher_train import TeacherTrainer, triples_from_raw
+        from sskd_tpu.models import TeacherModel
+
+        raw = get_raw_path(args.data_dir, args.dataset, "train")
+        triples = triples_from_raw(raw, max_samples=args.max_samples)
+        teacher_config, tokenizer = None, None
+        if args.tiny:
+            from sskd_tpu.models import BertConfig
+            from sskd_tpu.tokenization import WordPieceTokenizer
+
+            # corpus-fitted vocab: the bundled default tokenizer is a tiny
+            # fallback whose near-character pieces make topic matching
+            # needlessly hard for the 2L demo model
+            texts = sorted({q for q, _, _ in triples} | {d for _, d, _ in triples})
+            tokenizer = WordPieceTokenizer.build_from_corpus(texts, vocab_size=2048)
+            teacher_config = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
+        teacher = TeacherModel(
+            settings.teacher.model_name,
+            config=teacher_config,
+            tokenizer=tokenizer,
+            max_seq_length=settings.teacher.max_seq_length,
+        )
+        result = TeacherTrainer(teacher, learning_rate=args.lr).train(
+            triples,
+            steps=args.steps,
+            batch_size=args.batch_size,
+            max_len=args.max_len,
+        )
+        teacher.save(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "steps": result["steps"],
+                    "final_loss": result["final_loss"],
+                    "heldout_pair_accuracy": result["heldout_pair_accuracy"],
+                    "num_triples": len(triples),
+                },
+                indent=2,
+            )
+        )
         return 0
 
     if args.command == "index":
@@ -276,9 +388,38 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "eval":
         from sskd_tpu.kd.eval import KDEvaluator
 
-        model = _tiny_student(args.model, args.tiny)
         q_map, corpus, qrels = _load_eval_inputs(args.data, args.max_samples)
-        metrics = KDEvaluator().evaluate_retrieval(model, q_map, corpus, qrels)
+        ev = KDEvaluator()
+        if args.teacher:
+            from sskd_tpu.models import TeacherModel
+
+            teacher = TeacherModel(args.model)
+            metrics = ev.evaluate_retrieval_teacher(teacher, q_map, corpus, qrels)
+        else:
+            model = _tiny_student(args.model, args.tiny)
+            metrics = ev.evaluate_retrieval(model, q_map, corpus, qrels)
+        print(json.dumps(metrics, indent=2))
+        if args.out:
+            Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(metrics, f, indent=2)
+        return 0
+
+    if args.command == "eval-beir":
+        from sskd_tpu.data.prepare import load_beir_eval
+        from sskd_tpu.kd.eval import KDEvaluator
+
+        queries, chunks_df, qrels = load_beir_eval(
+            args.data_dir, args.dataset, max_queries=args.max_queries
+        )
+        model = _tiny_student(args.model, args.tiny)
+        metrics = KDEvaluator().evaluate_retrieval_chunked(
+            model,
+            queries,
+            chunks_df["text"].tolist(),
+            chunks_df["doc_id"].tolist(),
+            qrels,
+        )
         print(json.dumps(metrics, indent=2))
         if args.out:
             Path(args.out).parent.mkdir(parents=True, exist_ok=True)
@@ -297,11 +438,36 @@ def main(argv: list[str] | None = None) -> int:
             "kd_student": ev.evaluate_retrieval(kd, q_map, corpus, qrels),
             "vanilla": ev.evaluate_retrieval(vanilla, q_map, corpus, qrels),
         }
+        gate = None
+        if args.teacher_model:
+            from sskd_tpu.models import TeacherModel
+
+            teacher = TeacherModel(args.teacher_model)
+            results["teacher"] = ev.evaluate_retrieval_teacher(
+                teacher, q_map, corpus, qrels
+            )
+            teacher_ndcg = results["teacher"].get("ndcg@10", 0.0)
+            gate = {
+                "teacher_ndcg@10": teacher_ndcg,
+                "threshold": args.gate_ratio * teacher_ndcg,
+                "kd_passes": bool(
+                    results["kd_student"].get("ndcg@10", 0.0)
+                    >= args.gate_ratio * teacher_ndcg
+                ),
+            }
         report = KDEvaluator.generate_report(results, title="Model comparison")
+        if gate is not None:
+            status = "PASSED" if gate["kd_passes"] else "FAILED"
+            report += (
+                f"\nAcceptance gate (KD >= {args.gate_ratio:.0%} of teacher "
+                f"nDCG@10 = {gate['threshold']:.4f}): **{status}**\n"
+            )
         print(report)
         if args.out:
             with open(args.out, "w") as f:
                 f.write(report)
+        if gate is not None and not gate["kd_passes"]:
+            return 1
         return 0
 
     if args.command == "serve":

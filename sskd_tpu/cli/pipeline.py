@@ -29,13 +29,20 @@ logger = get_logger("pipeline")
 def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
     """Step 5: queries, positive texts/ids, and the corpus from raw JSONL
     (reference: train_kd_pipeline.py:191-238 — positives are passages with
-    is_selected == 1; corpus ids follow {qid}_passage_{i})."""
+    is_selected == 1; corpus ids follow {qid}_passage_{i}).
+
+    The corpus is deduplicated by exact text: MS-MARCO-style rows repeat
+    passages across queries, and keeping every copy under its own id makes
+    retrieval metrics penalize arbitrary tie-breaks between identical docs
+    (a query's own copy ranks below an unlabeled twin). Every duplicate maps
+    onto the first-seen canonical id."""
     from sskd_tpu.data.prepare import _iter_passages
 
     queries: list[str] = []
     positives: list[list[str]] = []
     positive_ids: list[list[str]] = []
     corpus: dict[str, str] = {}
+    text_to_id: dict[str, str] = {}
     with open(raw_jsonl) as f:
         for line in f:
             if max_samples and len(queries) >= max_samples:
@@ -45,8 +52,11 @@ def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
             qtext = row.get("query", "")
             pos_texts, pos_ids = [], []
             for pi, (text, selected) in enumerate(_iter_passages(row)):
-                doc_id = f"{qid}_passage_{pi}"
-                corpus[doc_id] = text
+                doc_id = text_to_id.get(text)
+                if doc_id is None:
+                    doc_id = f"{qid}_passage_{pi}"
+                    text_to_id[text] = doc_id
+                    corpus[doc_id] = text
                 if selected == 1:
                     pos_texts.append(text)
                     pos_ids.append(doc_id)
@@ -83,6 +93,8 @@ def run_train_pipeline(
     teacher_config=None,
     tokenizer=None,
     mesh=None,
+    save_init_to: str | Path | None = None,
+    dev_data: str | Path | None = None,
 ) -> dict:
     from sskd_tpu.data.demo import generate_demo_dataset
     from sskd_tpu.data.prepare import prepare_dataset
@@ -163,6 +175,21 @@ def run_train_pipeline(
 
     # [4/7] models -------------------------------------------------------------
     logger.info("[4/7] loading models")
+    if student_config is not None and tokenizer is None:
+        # tiny/demo mode: corpus-fitted vocab instead of the near-character
+        # fallback tokenizer (same rationale as `train-teacher --tiny`)
+        from dataclasses import replace
+
+        from sskd_tpu.tokenization import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer.build_from_corpus(
+            sorted(set(corpus.values()) | set(queries)), vocab_size=2048
+        )
+        student_config = replace(student_config, vocab_size=tokenizer.vocab_size)
+        if teacher_config is not None:
+            teacher_config = replace(
+                teacher_config, vocab_size=tokenizer.vocab_size
+            )
     student = StudentModel(
         settings.student.model_name,
         config=student_config,
@@ -173,6 +200,11 @@ def run_train_pipeline(
         normalize=settings.student.normalize_embeddings,
         pooling=settings.student.pooling,
     )
+    if save_init_to:
+        # untrained snapshot sharing this run's init + tokenizer: the fair
+        # "vanilla" row of the KD ablation (same weights the KD run starts
+        # from, reference 3-way comparison: evaluate_and_compare.py:129-134)
+        student.save(save_init_to)
     teacher = None
     if stage >= 2:
         teacher = TeacherModel(
@@ -253,6 +285,25 @@ def run_train_pipeline(
             fresh_samples = mined_to_samples(queries, positives, fresh, corpus)
             return fresh_samples[n_dev:] or fresh_samples
 
+    # held-out dev evaluator: full-corpus retrieval nDCG@10 over a separate
+    # raw split drives early stopping + best-model selection when provided
+    # (the in-candidate dev metric saturates; see KDTrainer.train docstring)
+    dev_evaluator = None
+    if dev_data is not None:
+        from sskd_tpu.kd.eval import KDEvaluator
+
+        dq, dpos, dpos_ids, dcorpus = build_training_inputs(Path(dev_data))
+        dev_q = {f"q{i}": q for i, q in enumerate(dq)}
+        dev_qrels = {
+            f"q{i}": {pid: 1.0 for pid in pids} for i, pids in enumerate(dpos_ids)
+        }
+        dev_ev = KDEvaluator(k_values=(10,))
+
+        def dev_evaluator(current_student):
+            return dev_ev.evaluate_retrieval(
+                current_student, dev_q, dcorpus, dev_qrels
+            )["ndcg@10"]
+
     # [7/7] train ------------------------------------------------------------------
     logger.info(f"[7/7] KD training: {len(train_samples)} train / {n_dev} dev")
     trainer = KDTrainer(student, settings, mesh=mesh)
@@ -262,6 +313,7 @@ def run_train_pipeline(
         epochs=epochs,
         output_dir=output_dir,
         negative_refresher=negative_refresher,
+        dev_evaluator=dev_evaluator,
     )
     result["num_queries"] = len(queries)
     result["corpus_size"] = len(corpus)

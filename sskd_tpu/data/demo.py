@@ -72,10 +72,11 @@ def generate_demo_dataset(
         topic, gloss = _TOPICS[i % len(_TOPICS)]
         template = _QUERY_TEMPLATES[i % len(_QUERY_TEMPLATES)]
         query = template.format(t=topic)
-        positive = (
-            f"{topic} explained: {gloss}. "
-            f"{_FILLER[int(rng.integers(len(_FILLER)))]}."
-        )
+        # canonical per topic (no random filler): after text-dedup every query
+        # has exactly ONE relevant doc in the corpus, so retrieval metrics
+        # measure ranking skill instead of arbitrary tie-breaks between
+        # unlabeled near-duplicates
+        positive = f"{topic} explained: {gloss}."
         passage_texts = [positive]
         is_selected = [1]
         for _ in range(passages_per_query - 1):

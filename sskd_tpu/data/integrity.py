@@ -59,14 +59,16 @@ def check_no_duplicates(parquet_path: str | Path, id_column: str = "chunk_id") -
     return []
 
 
-def check_schema(parquet_path: str | Path) -> list[str]:
+def check_schema(
+    parquet_path: str | Path, required: tuple[str, ...] | None = None
+) -> list[str]:
     """All required columns present, no nulls in keys
     (reference: integrity.py:101-132)."""
     import pandas as pd
 
     df = pd.read_parquet(parquet_path)
     problems = []
-    missing = set(REQUIRED_COLUMNS) - set(df.columns)
+    missing = set(required or REQUIRED_COLUMNS) - set(df.columns)
     if missing:
         problems.append(f"{parquet_path}: missing columns {sorted(missing)}")
     for col in ("chunk_id", "doc_id", "text"):
@@ -81,7 +83,29 @@ def check_dataset_integrity(
     data_dir: str | Path, dataset: str, splits: tuple[str, ...] = ("train", "validation")
 ) -> dict:
     """Aggregate all checks (reference: integrity.py:135-269). Returns
-    {"ok": bool, "problems": [...]}; raises nothing — callers decide."""
+    {"ok": bool, "problems": [...]}; raises nothing — callers decide.
+    BEIR datasets check the single prepared ``corpus.parquet`` against the
+    BEIR row schema instead of the per-split MS MARCO layout."""
+    from sskd_tpu.data.registry import get_chunks_dir, is_beir_dataset
+
+    if is_beir_dataset(dataset):
+        problems = []
+        pq = get_chunks_dir(data_dir, dataset) / "corpus.parquet"
+        if not pq.exists():
+            problems.append(f"missing prepared parquet {pq}")
+        else:
+            problems += check_no_duplicates(pq)
+            problems += check_schema(
+                pq,
+                required=("chunk_id", "doc_id", "title", "text", "tokens", "updated_at"),
+            )
+        ok = not problems
+        if ok:
+            logger.info(f"integrity OK: {dataset}")
+        else:
+            for p in problems:
+                logger.error(f"integrity: {p}")
+        return {"ok": ok, "problems": problems}
     problems = check_line_counts(data_dir, dataset)
     for split in splits:
         pq = get_chunks_path(data_dir, dataset, split)

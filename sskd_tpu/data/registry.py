@@ -80,3 +80,25 @@ def get_manifest_path(data_dir: str | Path, name: str) -> Path:
 def ensure_dirs(data_dir: str | Path, name: str) -> None:
     get_raw_dir(data_dir, name).mkdir(parents=True, exist_ok=True)
     get_chunks_dir(data_dir, name).mkdir(parents=True, exist_ok=True)
+
+
+def is_beir_dataset(name: str) -> bool:
+    return get_dataset_config(name).source.startswith("BeIR/")
+
+
+# BEIR raw layout (reference: src/data/fetch.py:69-90 + BEIR convention):
+#   raw/{name}/corpus.jsonl   — {"doc_id"|"_id", "title", "text"}
+#   raw/{name}/queries.jsonl  — {"query_id"|"_id", "text"}
+#   raw/{name}/qrels/test.tsv — query-id \t corpus-id \t score
+
+
+def get_beir_corpus_path(data_dir: str | Path, name: str) -> Path:
+    return get_raw_dir(data_dir, name) / "corpus.jsonl"
+
+
+def get_beir_queries_path(data_dir: str | Path, name: str) -> Path:
+    return get_raw_dir(data_dir, name) / "queries.jsonl"
+
+
+def get_beir_qrels_path(data_dir: str | Path, name: str, split: str = "test") -> Path:
+    return get_raw_dir(data_dir, name) / "qrels" / f"{split}.tsv"

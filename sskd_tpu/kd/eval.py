@@ -83,6 +83,91 @@ class KDEvaluator:
 
     # ------------------------------------------------------------------
 
+    def evaluate_retrieval_chunked(
+        self,
+        model,
+        queries: Mapping[str, str],
+        chunk_texts: Sequence[str],
+        chunk_doc_ids: Sequence[str],
+        qrels: Mapping[str, Mapping[str, float]],
+        fetch_multiplier: int = 4,
+    ) -> dict[str, float]:
+        """Doc-level retrieval over a CHUNKED corpus (the BEIR path,
+        reference: prepare.py:137-204 corpus rows): rank chunks with the
+        exact top-k engine, MaxSim-aggregate chunk scores to documents
+        (reference: src/utils/chunk.py:123-147 — dead there, live here), and
+        score the doc ranking against doc-level qrels."""
+        from sskd_tpu.utils.chunk import maxsim_aggregate_topk
+
+        doc_emb = model.encode_documents(
+            list(chunk_texts), batch_size=self.batch_size
+        )
+        qids = list(queries.keys())
+        q_emb = model.encode_queries(
+            [queries[q] for q in qids], batch_size=self.batch_size
+        )
+
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk import cosine_topk
+
+        max_k = max(self.k_values)
+        fetch_k = min(max_k * fetch_multiplier, len(chunk_texts))
+        block = min(32768, max(128, len(chunk_texts)))
+        top_vals, top_idx = cosine_topk(
+            jnp.asarray(q_emb), jnp.asarray(doc_emb), k=fetch_k, block_rows=block
+        )
+        top_vals, top_idx = np.asarray(top_vals), np.asarray(top_idx)
+
+        chunk_doc_ids = list(chunk_doc_ids)
+        results: dict[str, list[float]] = {}
+        total_relevant: dict[str, int] = {}
+        for qi, qid in enumerate(qids):
+            valid = top_idx[qi] >= 0
+            _, doc_rank = maxsim_aggregate_topk(
+                top_vals[qi][valid],
+                [chunk_doc_ids[i] for i in top_idx[qi][valid]],
+                k=max_k,
+            )
+            rels = qrels.get(qid, {})
+            results[qid] = [float(rels.get(d, 0.0)) for d in doc_rank]
+            total_relevant[qid] = sum(1 for v in rels.values() if v > 0)
+        return compute_retrieval_metrics(results, total_relevant, ks=self.k_values)
+
+    # ------------------------------------------------------------------
+
+    def evaluate_retrieval_teacher(
+        self,
+        teacher,
+        queries: Mapping[str, str],
+        corpus: Mapping[str, str],
+        qrels: Mapping[str, Mapping[str, float]],
+        batch_size: int = 256,
+    ) -> dict[str, float]:
+        """Cross-encoder retrieval quality: rank the corpus per query by
+        teacher score. This is the teacher row of the reference's 3-way
+        comparison (reference: scripts/evaluate_and_compare.py:129-134 gates
+        the student at >= 95% of THIS number). O(Q x N) pair scorings —
+        demo/eval-scale corpora only."""
+        doc_ids = list(corpus.keys())
+        doc_texts = [corpus[d] for d in doc_ids]
+        max_k = min(max(self.k_values), len(doc_ids))
+        results: dict[str, list[float]] = {}
+        total_relevant: dict[str, int] = {}
+        for qid, qtext in queries.items():
+            scores = np.asarray(
+                teacher.score(
+                    [(qtext, t) for t in doc_texts], batch_size=batch_size
+                )
+            )
+            order = np.argsort(-scores)[:max_k]
+            rels = qrels.get(qid, {})
+            results[qid] = [float(rels.get(doc_ids[i], 0.0)) for i in order]
+            total_relevant[qid] = sum(1 for v in rels.values() if v > 0)
+        return compute_retrieval_metrics(results, total_relevant, ks=self.k_values)
+
+    # ------------------------------------------------------------------
+
     def evaluate_ranking_quality(
         self,
         model,

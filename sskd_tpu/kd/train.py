@@ -211,8 +211,15 @@ class KDTrainer:
         query_len: int = 64,
         doc_len: int = 192,
         negative_refresher=None,
+        dev_evaluator=None,
     ) -> dict:
-        """Train. ``negative_refresher``, when given, is called with the
+        """Train. ``dev_evaluator``, when given, is called with the live
+        student at each epoch end and must return a scalar dev metric
+        (e.g. full-corpus retrieval nDCG@10 on a held-out split); it
+        replaces the in-candidate ``_dev_ndcg`` for early stopping and
+        best-model selection — the in-candidate ranking saturates once the
+        student separates mined candidates, making epoch selection
+        arbitrary. ``negative_refresher``, when given, is called with the
         up-to-date student whenever ``mining.ance_refresh_every_n_steps``
         training steps have elapsed since the last refresh (checked at epoch
         boundaries) and must return fresh KDSamples — this is the in-training
@@ -351,9 +358,16 @@ class KDTrainer:
             # dev set (when given), "loss" always watches train loss
             # (the reference declared this field but hardwired train loss,
             # SURVEY.md 7.4)
-            if dev_samples:
+            if dev_evaluator is not None:
+                old = self.student.params
+                self.student.params = params
+                try:
+                    record["dev_ndcg@10"] = float(dev_evaluator(self.student))
+                finally:
+                    self.student.params = old
+            elif dev_samples:
                 record["dev_ndcg@10"] = self._dev_ndcg(dev_samples, params)
-            if dev_samples and cfg.early_stopping_metric != "loss":
+            if "dev_ndcg@10" in record and cfg.early_stopping_metric != "loss":
                 metric = record["dev_ndcg@10"]
             else:
                 metric = -record["train_loss"]
@@ -362,7 +376,11 @@ class KDTrainer:
             logger.info(
                 f"epoch {epoch + 1}/{epochs}: loss={record['train_loss']:.4f} "
                 f"T={record['temperature']:.2f} "
-                + (f"dev_ndcg@10={record.get('dev_ndcg@10'):.4f} " if dev_samples else "")
+                + (
+                    f"dev_ndcg@10={record['dev_ndcg@10']:.4f} "
+                    if "dev_ndcg@10" in record
+                    else ""
+                )
                 + f"({record['seconds']:.1f}s)"
             )
 
