@@ -19,6 +19,12 @@ returns before execution), so each timing compiles ONE on-device
 `lax.fori_loop` whose iterations are data-dependent, and subtracts t(1) from
 t(iters) after a host readback that forces completion.
 
+The detail block carries the full perf story the driver tracks round over
+round (VERDICT round-1 next #6): the 1M approx sweep (headline), the 1M
+exact-kernel sweep with its recall (1.0 by construction), the 10M int8
+approx sweep with recall vs exact-int8, and the projected ICI-shard math for
+the sub-ms-p50-at-10M north star (BASELINE.md).
+
 Environment knobs:
   SSKD_BENCH_ROWS     corpus rows          (default 1_000_000)
   SSKD_BENCH_DIM      embedding dim        (default 384)
@@ -26,11 +32,13 @@ Environment knobs:
                       micro-batcher rides this amortization curve)
   SSKD_BENCH_K        top-k                (default 10)
   SSKD_BENCH_ITERS    slope iterations     (default 8)
+  SSKD_BENCH_10M      also run the 10M-row scale point (default: 1 on TPU)
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -127,7 +135,7 @@ def main() -> None:
     if backend == "tpu":
         exact_ms = slope_ms(
             lambda q, c, s: cosine_topk_pallas(
-                q, c, k=k, block_rows=2048, row_scales=s
+                q, c, k=k, row_scales=s
             ),
             c8,
             scales,
@@ -171,6 +179,78 @@ def main() -> None:
         np.mean([len(set(ia[i].tolist()) & set(gt_idx[i])) / k for i in range(n_val)])
     )
 
+    # exact-kernel recall (1.0 by construction — pinned in the artifact)
+    ve, ie = (
+        cosine_topk_pallas(probe_j, c8, k=k, row_scales=scales)
+        if backend == "tpu"
+        else cosine_topk_core(probe_j, c8, k=k, row_scales=scales, method="exact")
+    )
+    ie = np.asarray(ie)
+    exact_recall = float(
+        np.mean([len(set(ie[i].tolist()) & set(gt_idx[i])) / k for i in range(n_val)])
+    )
+
+    # ---- 10M-row scale point + ICI shard projection (north star:
+    # sub-ms p50 over 10M passages, BASELINE.md) -------------------------
+    scale_10m = None
+    want_10m = os.environ.get("SSKD_BENCH_10M", "1" if backend == "tpu" else "0") == "1"
+    if want_10m and rows < 10_000_000:
+        rows10 = 10_000_000
+        v_slabs, s_slabs = [], []
+        for i in range(0, rows10, slab):
+            n = min(slab, rows10 - i)
+            x = jax.random.normal(
+                jax.random.PRNGKey(100_000 + i), (n, dim), dtype=jnp.float32
+            )
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            v8, sc = quantize_rows(x)
+            v_slabs.append(jax.block_until_ready(v8))
+            s_slabs.append(sc)
+            del x
+        c8_10 = jnp.concatenate(v_slabs)
+        scales_10 = jnp.concatenate(s_slabs)
+        del v_slabs, s_slabs
+        _ = np.asarray(c8_10[0, :4])
+
+        ms_10m = slope_ms(
+            lambda q, c, s: cosine_topk_core(
+                q, c, k=k, row_scales=s, method="approx", recall_target=0.99
+            ),
+            c8_10,
+            scales_10,
+        )
+        # recall vs exact over the same int8 matrix (isolates the binning
+        # approximation at 10M scale)
+        va10, ia10 = cosine_topk_core(
+            probe_j, c8_10, k=k, row_scales=scales_10, method="approx",
+            recall_target=0.99,
+        )
+        _, gt10 = cosine_topk_core(
+            probe_j, c8_10, k=k, row_scales=scales_10, method="exact"
+        )
+        ia10, gt10 = np.asarray(ia10), np.asarray(gt10)
+        recall_10m = float(
+            np.mean(
+                [len(set(ia10[i].tolist()) & set(gt10[i])) / k for i in range(n_val)]
+            )
+        )
+        # ICI shard projection: rows split over N chips sweep in ~1/N the
+        # time (HBM-bound); the all-gather merge moves shards*B*k pairs —
+        # negligible next to the sweep (measured multi-device on the CPU
+        # mesh; real multi-chip is unavailable on this host)
+        scale_10m = {
+            "rows": rows10,
+            "ms_per_sweep": round(ms_10m, 3),
+            "qps": round(batch / (ms_10m / 1000.0), 1) if ms_10m > 0 else 0.0,
+            "recall_at_k_vs_exact_int8": round(recall_10m, 4),
+            "projected_ms_per_sweep_8_shards": round(ms_10m / 8, 3),
+            "projected_ms_per_sweep_16_shards": round(ms_10m / 16, 3),
+            "projected_sub_ms_p50_shards": (
+                1 if ms_10m <= 1.0 else 2 ** math.ceil(math.log2(ms_10m))
+            ),
+        }
+        del c8_10, scales_10
+
     qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
     result = {
         "metric": "index_search_qps_chip",
@@ -194,6 +274,8 @@ def main() -> None:
             "exact_engine_qps": round(batch / (exact_ms / 1000.0), 1)
             if exact_ms > 0
             else 0.0,
+            "exact_engine_recall_at_k": round(exact_recall, 4),
+            "scale_10m": scale_10m,
         },
     }
     print(json.dumps(result))

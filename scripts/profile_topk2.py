@@ -41,25 +41,32 @@ def main() -> None:
     flops = 2.0 * B * N * D
 
     def bench(name, search_fn, *args):
-        @jax.jit
-        def chained(q0, *args):
-            def body(i, carry):
-                q, acc = carry
-                vals, idx = search_fn(q, *args)
-                # data dependency: perturb next queries with this result
-                q = q + (vals[:, :1] + idx[:, :1].astype(jnp.float32)) * 1e-12
-                return (q, acc + vals[0, 0])
+        # slope method (t(ITERS) - t(1)) with a HOST READBACK forcing
+        # completion: block_until_ready does not reliably block through the
+        # remote tunnel (see bench.py / verify skill notes)
+        def make(n):
+            @jax.jit
+            def chained(q0, *args):
+                def body(i, carry):
+                    q, acc = carry
+                    vals, idx = search_fn(q, *args)
+                    # data dependency: perturb next queries with this result
+                    q = q + (vals[:, :1] + idx[:, :1].astype(jnp.float32)) * 1e-12
+                    return (q, acc + vals[0, 0])
 
-            return jax.lax.fori_loop(0, ITERS, body, (q0, jnp.float32(0)))
+                return jax.lax.fori_loop(0, n, body, (q0, jnp.float32(0)))
+
+            return chained
 
         try:
-            out = chained(q0, *args)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            out = chained(q0, *args)
-            jax.block_until_ready(out)
-            total = time.perf_counter() - t0
-            per = total / ITERS * 1000
+            times = {}
+            for n in (1, ITERS):
+                fn = make(n)
+                float(fn(q0, *args)[1])  # compile + settle
+                t0 = time.perf_counter()
+                float(fn(q0, *args)[1])  # readback forces completion
+                times[n] = time.perf_counter() - t0
+            per = max(0.0, (times[ITERS] - times[1]) / (ITERS - 1)) * 1000
             qps = B / (per / 1000.0)
             eff = flops / (per / 1000.0) / 1e12
             print(

@@ -273,6 +273,35 @@ def _approx_topk(
 @functools.partial(
     jax.jit, static_argnames=("k", "block_rows", "valid_n", "method", "recall_target")
 )
+def _cosine_topk_jit(
+    queries, corpus, k, block_rows, row_scales, valid_n, method, recall_target
+):
+    return cosine_topk_core(
+        queries,
+        corpus,
+        k,
+        block_rows=block_rows,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        method=method,
+        recall_target=recall_target,
+    )
+
+
+def _pallas_exact_ok(corpus, k: int) -> bool:
+    """Host-side dispatch gate for the binned Pallas exact engine: TPU
+    backend, in-capacity k, and a corpus big enough that the two-phase
+    sweep (bin maxima + k*128-row rescan) beats the blocked XLA engine."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    from sskd_tpu.ops.topk_pallas import BIN_W, K_MAX
+
+    n = corpus.shape[0]
+    return k <= K_MAX and n >= (1 << 16) and n > 2 * k * BIN_W
+
+
 def cosine_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -283,16 +312,19 @@ def cosine_topk(
     method: str = "exact",
     recall_target: float = 0.99,
 ):
-    """Jitted single-device entry point; see :func:`cosine_topk_core`."""
-    return cosine_topk_core(
-        queries,
-        corpus,
-        k,
-        block_rows=block_rows,
-        row_scales=row_scales,
-        valid_n=valid_n,
-        method=method,
-        recall_target=recall_target,
+    """Single-device entry point; see :func:`cosine_topk_core`.
+
+    The ``exact`` method dispatches to the binned Pallas engine on TPU
+    (exact results, no per-block extraction — ops/topk_pallas.py) for
+    large corpora, else the blocked XLA engine."""
+    if method == "exact" and _pallas_exact_ok(corpus, k):
+        from sskd_tpu.ops.topk_pallas import cosine_topk_pallas
+
+        return cosine_topk_pallas(
+            queries, corpus, k, row_scales=row_scales, valid_n=valid_n
+        )
+    return _cosine_topk_jit(
+        queries, corpus, k, block_rows, row_scales, valid_n, method, recall_target
     )
 
 

@@ -1,25 +1,47 @@
-"""Pallas fused blocked matmul + running top-k kernel.
+"""Pallas fused blocked matmul + binned exact top-k (two-phase).
 
 The XLA scan version (:mod:`sskd_tpu.ops.topk`) materializes each block's
-[B, R] score matrix in HBM and pays a full `lax.top_k` per block. This
-kernel keeps everything in VMEM (SURVEY.md 7.3: "the Pallas kernel must fuse
-dot + running top-k to avoid materializing [B, N] scores"):
+[B, R] score matrix in HBM and pays a full `lax.top_k` per block. The round-1
+kernel here kept scores in VMEM but extracted the running top-k with k
+max-passes over the full [B, R + 128] buffer — VPU work proportional to
+k * B * R that dominated the sweep (7.4 ms at 1M x 384, B=256, vs 0.84 ms
+for the approx engine). This version removes ALL in-kernel extraction
+(VERDICT round-1 weak #5 / next #5):
 
-- grid over corpus row-blocks; Pallas pipelines the HBM -> VMEM block loads
-  (double-buffered) while the MXU computes the previous block's scores;
-- the per-block [B, R] scores live only in a VMEM scratch;
-- top-k is maintained exactly via k max-extraction passes per block over a
-  unified [B, R + 128] buffer whose tail carries the running top-k, so the
-  merge costs nothing extra;
-- ties resolve to the lowest global row index (deterministic, and gather-free:
-  the winning index is recovered with a masked min over the index buffer).
+Phase A (``_binmax_kernel``, grid over corpus blocks):
+- MXU computes the block's TRANSPOSED [R, B] scores (f32, or int8 x int8 ->
+  int32 rescaled) — bins lie along SUBLANES, so the per-128-row-bin max is a
+  pairwise tree of full-vreg maxes with zero lane shuffles;
+- the kernel emits every bin max: out[g, b] = max(scores[g*128:(g+1)*128, b]).
+  No running state, no extraction loop — the kernel is pure MXU + one VPU
+  reduction pass, so it runs at the sweep's HBM/MXU floor.
+
+Extraction (plain XLA, tiny): `lax.top_k` over the [B, n_bins] bin maxima
+picks each query's top-k BINS. Correctness: every global top-k element's bin
+has bin-max >= the kth element value, and at most k bins contain top-k
+elements, so the top-k bins by max cover all top-k elements.
+
+Phase B (``_gather_kernel``, grid (B, k), scalar-prefetched bin ids):
+- each program DMAs ONE query's ONE winning bin (128 contiguous corpus rows;
+  the bin id indexes the corpus BlockSpec via scalar prefetch) and emits the
+  exact [128] scores; a final cheap `lax.top_k` over [B, k*128] candidates
+  recovers the global top-k. HBM traffic: B * k * 128 rows, not a second
+  full sweep.
 
 Exactness: identical result set to brute force (ties aside), so the
 reference's recall@10 >= 0.97 build gate (configs/index.yaml:52-56) holds at
-recall 1.0.
+recall 1.0. k up to 256 is supported (the serving schema allows
+rerank_top_k <= 200, reference: serve/schemas.py); the engine dispatcher
+routes larger k to the XLA path.
 
-Supports f32 and int8 corpora (int8 queries are quantized per-row on the fly
-so the MXU runs an int8 x int8 -> int32 matmul).
+Note on the road not taken: `lax.approx_max_k(aggregate_to_topk=False)`
+looks like a free phase A, but (a) only the AGGREGATED form fuses into the
+matmul epilogue on this XLA (the partial form measured 5.2 ms vs 0.82 ms
+aggregated at 1M x 384, B=256), and (b) its bin partition is an internal
+lowering decision that changes with operand batch size AND fusion context
+(measured: l2=2048 at B<=8, l2=1024 at B=256, different again under fused
+RNG producers) — no runtime probe can certify the layout inside a different
+compiled computation, so building an exact rescan on it is unsound.
 """
 
 from __future__ import annotations
@@ -32,153 +54,178 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min / 2)  # python literal: kernels
-_INT_MAX = 2**31 - 1  # must not capture traced constants
 
-K_PAD = 128  # lane-aligned tail carrying the running top-k
+BIN_W = 128  # bin = 128 contiguous corpus rows (one lane tile in phase B)
+K_MAX = 256  # dispatcher cap: beyond this, phase B gathers beat a full sweep
 
 
-def _kernel(
+def _binmax_kernel(
     valid_n_ref,  # SMEM (1,1) int32 — true corpus rows
-    q_ref,  # [B, D] (f32) or int8
+    q_ref,  # [B, D] (f32 or int8)
     block_ref,  # [R, D] corpus block (f32 or int8)
-    scale_ref,  # [1, R] f32 per-row scales, or None
-    qscale_ref,  # [B, 1] f32 query scales (int8 path), or None
-    out_vals_ref,  # [B, K_PAD] f32
-    out_idx_ref,  # [B, K_PAD] int32
-    s_buf,  # scratch [B, R + K_PAD] f32
-    i_buf,  # scratch [B, R + K_PAD] int32
-    run_vals,  # scratch [B, K_PAD] f32
-    run_idx,  # scratch [B, K_PAD] int32
+    scale_ref,  # [R, 1] f32 per-row scales, or None
+    out_ref,  # [G, B] f32 — this block's bin maxima
     *,
-    k: int,
     block_rows: int,
     is_int8: bool,
-    prune: bool,
 ):
+    """Every elementwise pass over the [R, B] score tile moves ~R*B*4 bytes
+    through the VPU — at 1M x 256 that's 1 GB per pass per sweep, which
+    measured ~1 ms each. So the kernel does exactly ONE such pass (the
+    per-row scale multiply, which cannot commute past the bin max) and
+    pushes everything else out:
+    - the padding mask runs only in the LAST grid step (the only block
+      that can contain padded rows — callers pad by at most one block);
+    - the per-QUERY int8 scale is a positive per-column factor, so
+      max(s * q_col) == q_col * max(s): it is applied to the [n_bins, B]
+      bin maxima outside the kernel, 128x less data."""
     step = pl.program_id(0)
     R = block_rows
     B = q_ref.shape[0]
+    G = R // BIN_W
 
-    @pl.when(step == 0)
-    def _init():
-        run_vals[:] = jnp.full(run_vals.shape, _NEG_INF, jnp.float32)
-        run_idx[:] = jnp.full(run_idx.shape, -1, jnp.int32)
-
-    # ---- scores for this block (MXU) ----------------------------------
+    # TRANSPOSED scores [R, B]: bins lie along SUBLANES, so the per-bin max
+    # is a pairwise tree over sublane tiles — no lane-dim shuffles.
     if is_int8:
-        raw = jax.lax.dot_general(
-            q_ref[:],
+        scores_t = jax.lax.dot_general(
             block_ref[:],
+            q_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-        scores = raw * qscale_ref[:] * scale_ref[0][None, :]
     else:
-        scores = jax.lax.dot_general(
-            q_ref[:],
+        scores_t = jax.lax.dot_general(
             block_ref[:],
+            q_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if scale_ref is not None:
-            scores = scores * scale_ref[0][None, :]
+    if scale_ref is not None:
+        scores_t = scores_t * scale_ref[:]
 
-    # ---- mask padded rows -----------------------------------------------
-    global_idx = step * R + jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-    valid = global_idx < valid_n_ref[0, 0]
-    scores = jnp.where(valid, scores, _NEG_INF)
+    # mask padded rows — only blocks extending past valid_n pay the
+    # element-level mask pass
+    past_valid = (step + 1) * R > valid_n_ref[0, 0]
 
-    # ---- threshold pruning ----------------------------------------------
-    # A block only matters for queries whose kth-best would change. One max
-    # pass decides; blocks that cannot contribute skip the k-pass extraction
-    # entirely (the dominant VPU cost, ~k*5 passes over [B, R]). With many
-    # queries nearly every block contributes (expected winners/block =
-    # B*k/n_blocks), so the wrapper enables pruning only for small batches.
-    def _extract_block():
-        s_buf[:, :R] = scores
-        i_buf[:, :R] = jnp.where(valid, global_idx, -1)
-        s_buf[:, R:] = run_vals[:]
-        i_buf[:, R:] = run_idx[:]
+    @pl.when(past_valid)
+    def _mask_tail():
+        global_idx = step * R + jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+        masked = jnp.where(global_idx < valid_n_ref[0, 0], scores_t, _NEG_INF)
+        out_ref[:] = jnp.max(masked.reshape(G, BIN_W, B), axis=1)
 
-        # Stores into the running top-k use a masked full-tile update
-        # rather than a dynamic lane slice: Mosaic requires lane-dim store
-        # offsets to be 128-aligned, and a [B, 1] store at traced ki is not.
-        lane = jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1)
+    @pl.when(jnp.logical_not(past_valid))
+    def _body():
+        # collapse to per-bin maxima: [R, B] -> [G, BIN_W, B] -> [G, B]
+        out_ref[:] = jnp.max(scores_t.reshape(G, BIN_W, B), axis=1)
 
-        def extract(ki, _):
-            s = s_buf[:]
-            m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
-            eq = s >= m  # max positions
-            # winning index = min index among maxima (deterministic ties)
-            win = jnp.min(
-                jnp.where(eq, i_buf[:], _INT_MAX), axis=1, keepdims=True
-            )
-            at_k = lane == ki
-            run_vals[:] = jnp.where(at_k, m, run_vals[:])
-            run_idx[:] = jnp.where(at_k, win, run_idx[:])
-            # knock out exactly the winning element
-            s_buf[:] = jnp.where(eq & (i_buf[:] == win), _NEG_INF, s)
-            return 0
 
-        jax.lax.fori_loop(0, k, extract, 0)
-        # positions k..K_PAD stay at -inf/-1 from init (never written)
+# bins fetched per phase-B grid step: fewer, fatter steps amortize the
+# per-program overhead (grid (B, kb) one-bin steps measured 1.78 ms for
+# B=256, k=10 at 1M rows; grid (B,) with all 10 bins as operands, 0.71 ms)
+GATHER_FANIN = 10
 
-    if prune:
-        block_max = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
-        kth_lane = (
-            jax.lax.broadcasted_iota(jnp.int32, run_vals.shape, 1) == k - 1
+
+def _gather_kernel(
+    bins_ref,  # scalar-prefetch [B, kb_pad] int32 — clipped global bin ids
+    valid_ref,  # scalar-prefetch [1] int32 — true corpus rows
+    q_ref,  # [B, D] ALL queries (constant block, fetched once; f32)
+    qscale_ref,  # [B, 1] f32 (int8 path) or None
+    *refs,  # J x rows_ref [BIN_W, D], then J x scale_ref [BIN_W, 1] | none,
+    #         then out_ref [1, J, BIN_W] f32 (this step's slab)
+    has_scales: bool,
+    is_int8: bool,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    refs = list(refs)
+    J = (len(refs) - 1) // (2 if has_scales else 1)
+    rows_refs = refs[:J]
+    scale_refs = refs[J : 2 * J] if has_scales else [None] * J
+    out_ref = refs[-1]
+
+    # one query row via dynamic sublane slice (lane dim stays static).
+    # int8 path: the q operand is the QUANTIZED query cast to f32 and rows
+    # cast in-kernel — f32 products/sums of int values <= 127 over D <= 512
+    # stay below 2^24, so this reproduces the int32 matmul bit-exactly
+    # without int8 relayouts this grid shape can't lower.
+    q_row = q_ref[pl.ds(b, 1), :]
+    parts = []
+    for jj in range(J):
+        rows = rows_refs[jj][:]
+        if is_int8:
+            rows = rows.astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_row,
+            rows,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        kth = jnp.sum(
-            jnp.where(kth_lane, run_vals[:], 0.0), axis=1, keepdims=True
+        if is_int8:
+            scores = scores * qscale_ref[pl.ds(b, 1), :] * scale_refs[jj][:].T
+        elif scale_refs[jj] is not None:
+            scores = scores * scale_refs[jj][:].T
+        gidx = bins_ref[b, j * J + jj] * BIN_W + jax.lax.broadcasted_iota(
+            jnp.int32, (1, BIN_W), 1
         )
-        pl.when(jnp.any(block_max > kth))(_extract_block)
-    else:
-        _extract_block()
-
-    @pl.when(step == pl.num_programs(0) - 1)
-    def _emit():
-        out_vals_ref[:] = run_vals[:]
-        out_idx_ref[:] = run_idx[:]
+        parts.append(jnp.where(gidx < valid_ref[0], scores, _NEG_INF))
+    out_ref[0] = jnp.concatenate(parts, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "valid_n", "interpret", "prune")
-)
 def cosine_topk_pallas(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     k: int,
-    block_rows: int = 2048,
+    block_rows: int = 16384,
     row_scales: jnp.ndarray | None = None,
     valid_n: int | None = None,
     interpret: bool | None = None,
-    prune: bool | None = None,
 ):
     """Exact fused top-k. Same contract as
     :func:`sskd_tpu.ops.topk.cosine_topk`: returns (scores [B, k] f32,
-    indices [B, k] int32) with (-inf, -1) sentinels.
+    indices [B, k] int32) with (-inf, -1) sentinels."""
+    if k > K_MAX:
+        raise ValueError(f"k={k} exceeds kernel capacity {K_MAX}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _cosine_topk_pallas_jit(
+        queries,
+        corpus,
+        row_scales,
+        k=k,
+        block_rows=block_rows,
+        valid_n=valid_n,
+        interpret=interpret,
+    )
 
-    ``prune`` (default: on for query batches <= 64) adds a one-pass
-    block-max threshold check that skips the k-pass extraction for blocks
-    that cannot change any query's top-k — a large win for small batches
-    (measured 3x+ at B=8), a ~9% loss at B=256 where nearly every block
-    contributes. Tie caveat: a pruned block with an element exactly equal
-    to a query's kth score keeps the incumbent (scores identical; only
-    tie-index selection can differ from brute force).
-    """
-    if k > K_PAD:
-        raise ValueError(f"k={k} exceeds kernel capacity {K_PAD}")
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "valid_n", "interpret")
+)
+def _cosine_topk_pallas_jit(
+    queries,
+    corpus,
+    row_scales,
+    *,
+    k: int,
+    block_rows: int,
+    valid_n: int | None,
+    interpret: bool,
+):
     B, D = queries.shape
     N = corpus.shape[0]
     if valid_n is None:
         valid_n = N
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    # The unified score+index scratch costs B * (R + K_PAD) * 8 bytes of
-    # VMEM; shrink the block until it fits the ~16MB budget with headroom
-    # for the pipelined corpus block and queries.
-    VMEM_BUDGET = 10 * 1024 * 1024
-    while block_rows > 512 and B * (block_rows + K_PAD) * 8 > VMEM_BUDGET:
+    is_int8 = corpus.dtype == jnp.int8
+
+    # VMEM budget: the [R, B] transposed score tile (x3 — Mosaic's scoped
+    # allocator holds the raw scores, the masked copy, and reduce temps
+    # live together) + the double-buffered corpus block. The kernel raises
+    # the per-kernel scoped-vmem limit to 100 MB (v5e has 128 MB).
+    VMEM_BUDGET = 80 * 1024 * 1024
+    itemsize = 1 if is_int8 else corpus.dtype.itemsize
+    while block_rows > 512 and (
+        3 * B * block_rows * 4 + 2 * block_rows * D * itemsize > VMEM_BUDGET
+    ):
         block_rows //= 2
 
     # pad corpus rows to a block multiple
@@ -188,8 +235,9 @@ def cosine_topk_pallas(
         if row_scales is not None:
             row_scales = jnp.pad(row_scales, (0, padded - N))
     n_blocks = padded // block_rows
+    n_bins = padded // BIN_W
+    G = block_rows // BIN_W
 
-    is_int8 = corpus.dtype == jnp.int8
     if is_int8:
         if row_scales is None:
             raise ValueError("int8 corpus requires row_scales")
@@ -201,12 +249,18 @@ def cosine_topk_pallas(
         q_scale = None
 
     valid_arr = jnp.asarray([[valid_n]], jnp.int32)
+    # column layout [padded, 1]: phase A multiplies the TRANSPOSED [R, B]
+    # scores by row, phase B transposes the [BIN_W, 1] slice in-kernel
     scales_arr = (
-        row_scales.astype(jnp.float32).reshape(1, padded)
+        row_scales.astype(jnp.float32).reshape(padded, 1)
         if row_scales is not None
         else None
     )
 
+    # ---- phase A: ALL bin maxima, transposed [n_bins, B] ----------------
+    # (bin values are in row-scaled units on the int8 path — the positive
+    # per-query scale cannot change any per-query bin RANKING, so it is
+    # never applied to the maxima; phase B rescales its exact scores.)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # valid_n
         pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),  # queries
@@ -215,86 +269,176 @@ def cosine_topk_pallas(
     operands = [valid_arr, q_in, corpus]
     if scales_arr is not None:
         in_specs.append(
-            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(scales_arr)
-    if is_int8:
-        in_specs.append(pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        operands.append(q_scale)
 
-    if prune is None:
-        prune = B <= 64
     kernel = functools.partial(
-        _kernel_dispatch,
+        _binmax_dispatch,
         has_scales=scales_arr is not None,
         is_int8=is_int8,
-        k=min(k, valid_n),
         block_rows=block_rows,
-        prune=prune,
     )
-
-    out_vals, out_idx = pl.pallas_call(
+    binmax_t = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((B, K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, K_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((B, K_PAD), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((B, block_rows + K_PAD), jnp.float32),
-            pltpu.VMEM((B, block_rows + K_PAD), jnp.int32),
-            pltpu.VMEM((B, K_PAD), jnp.float32),
-            pltpu.VMEM((B, K_PAD), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((G, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bins, B), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * padded * D,
-            bytes_accessed=padded * D * corpus.dtype.itemsize + B * D * 4,
+            bytes_accessed=padded * D * itemsize + B * D * 4 + n_bins * B * 4,
             transcendentals=0,
         ),
     )(*operands)
 
-    vals = out_vals[:, :k]
-    idx = out_idx[:, :k]
-    if k > valid_n:  # pad out to requested k
-        pad = k - valid_n
+    # ---- extraction: top-k BINS per query ---------------------------------
+    kb = min(k, n_bins)
+    bin_vals, bin_ids = _small_topk(binmax_t.T, kb)  # [B, kb]
+    slot_ok = bin_vals > _NEG_INF / 2  # filler slots (tiny/empty corpora)
+    bins_clip = jnp.clip(bin_ids, 0, n_bins - 1).astype(jnp.int32)
+
+    # ---- phase B: rescan the winning bins exactly ------------------------
+    # grid (B, ceil(kb / J)) with J bins DMA'd per step via J corpus
+    # BlockSpecs — each step writes its own [J, BIN_W] output slab
+    J = min(GATHER_FANIN, kb)
+    n_j = -(-kb // J)
+    kb_pad = n_j * J
+    if kb_pad != kb:  # pad slot ids (clipped -> always a legal block index)
+        bins_clip = jnp.concatenate(
+            [bins_clip, jnp.zeros((B, kb_pad - kb), jnp.int32)], axis=1
+        )
+        slot_ok = jnp.concatenate(
+            [slot_ok, jnp.zeros((B, kb_pad - kb), bool)], axis=1
+        )
+
+    gather = functools.partial(
+        _gather_kernel, has_scales=scales_arr is not None, is_int8=is_int8
+    )
+
+    def _bin_spec(jj):
+        return pl.BlockSpec(
+            (BIN_W, D),
+            functools.partial(
+                lambda b, j, bins, valid, _jj: (bins[b, j * J + _jj], 0), _jj=jj
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _scale_spec(jj):
+        return pl.BlockSpec(
+            (BIN_W, 1),
+            functools.partial(
+                lambda b, j, bins, valid, _jj: (bins[b, j * J + _jj], 0), _jj=jj
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    gather_in_specs = [
+        # full query matrix, constant index: DMA'd once, resident across steps
+        pl.BlockSpec((B, D), lambda b, j, bins, valid: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 1), lambda b, j, bins, valid: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    # int8: quantized queries as f32 (integer-exact, see _gather_kernel)
+    gather_operands = [
+        q_in.astype(jnp.float32) if is_int8 else q_in,
+        q_scale if is_int8 else jnp.ones((B, 1), jnp.float32),
+    ]
+    gather_in_specs += [_bin_spec(jj) for jj in range(J)]
+    gather_operands += [corpus] * J
+    if scales_arr is not None:
+        gather_in_specs += [_scale_spec(jj) for jj in range(J)]
+        gather_operands += [scales_arr] * J
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_j),
+        in_specs=gather_in_specs,
+        out_specs=pl.BlockSpec(
+            (1, J, BIN_W), lambda b, j, bins, valid: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    gathered = pl.pallas_call(
+        gather,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, kb_pad, BIN_W), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # every (b, j) step owns a distinct output slab
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * kb_pad * BIN_W * D,
+            bytes_accessed=B * kb_pad * BIN_W * D * itemsize,
+            transcendentals=0,
+        ),
+    )(bins_clip, jnp.asarray([valid_n], jnp.int32), *gather_operands)
+
+    # ---- final: exact top-k over the k*128 candidates --------------------
+    cand = jnp.where(slot_ok[:, :, None], gathered, _NEG_INF).reshape(
+        B, kb_pad * BIN_W
+    )
+    cand_idx = (
+        bins_clip[:, :, None] * BIN_W
+        + jnp.arange(BIN_W, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, kb_pad * BIN_W)
+    k_top = min(k, kb * BIN_W)
+    vals, pos = _small_topk(cand, k_top)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+
+    if k_top < k:  # pad out to requested k
+        pad = k - k_top
         vals = jnp.concatenate(
-            [vals[:, :valid_n], jnp.full((B, pad), _NEG_INF, jnp.float32)], axis=1
+            [vals, jnp.full((B, pad), _NEG_INF, jnp.float32)], axis=1
         )
-        idx = jnp.concatenate(
-            [idx[:, :valid_n], jnp.full((B, pad), -1, jnp.int32)], axis=1
-        )
+        idx = jnp.concatenate([idx, jnp.full((B, pad), -1, jnp.int32)], axis=1)
     idx = jnp.where(vals > _NEG_INF / 2, idx, -1)
     return vals, idx
 
 
-def _kernel_dispatch(
-    valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, k, block_rows, prune
-):
-    """Unpack optional operands, then run the kernel body."""
+def _small_topk(x: jnp.ndarray, k: int):
+    """Exact top-k over the last axis, tuned for small k over mid-sized
+    rows: k iterated (max, argmax, mask) passes measured 0.18 ms vs 0.96 ms
+    for `lax.top_k` on [256, 8192] f32 (v5e). Falls back to lax.top_k when
+    the k passes would cost more than the sort-based kernel."""
+    if k > 32:
+        return jax.lax.top_k(x, k)
+    B, n = x.shape
+    rows = jnp.arange(B)
+
+    def body(i, carry):
+        xv, vals, idxs = carry
+        m = jnp.max(xv, axis=1)
+        a = jnp.argmax(xv, axis=1).astype(jnp.int32)
+        vals = vals.at[:, i].set(m)
+        idxs = idxs.at[:, i].set(a)
+        xv = xv.at[rows, a].set(_NEG_INF)
+        return (xv, vals, idxs)
+
+    vals0 = jnp.full((B, k), _NEG_INF, jnp.float32)
+    idxs0 = jnp.zeros((B, k), jnp.int32)
+    _, vals, idxs = jax.lax.fori_loop(0, k, body, (x, vals0, idxs0))
+    return vals, idxs
+
+
+def _binmax_dispatch(valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, block_rows):
+    """Unpack optional operands, then run the phase-A kernel body."""
     rest = list(rest)
     scale_ref = rest.pop(0) if has_scales else None
-    qscale_ref = rest.pop(0) if is_int8 else None
-    out_vals_ref, out_idx_ref, s_buf, i_buf, run_vals, run_idx = rest
-    _kernel(
+    (out_ref,) = rest
+    _binmax_kernel(
         valid_ref,
         q_ref,
         block_ref,
         scale_ref,
-        qscale_ref,
-        out_vals_ref,
-        out_idx_ref,
-        s_buf,
-        i_buf,
-        run_vals,
-        run_idx,
-        k=k,
+        out_ref,
         block_rows=block_rows,
         is_int8=is_int8,
-        prune=prune,
     )
+
+
