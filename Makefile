@@ -9,8 +9,9 @@ DATASET ?= demo
 STAGE ?= 2
 EPOCHS ?= 3
 
-.PHONY: help install test test-fast lint demo-data prepare integrity train \
-        index eval compare serve bench export demo clean
+.PHONY: help install test test-fast coverage fmt lint typecheck docs \
+        demo-data prepare integrity train index eval compare serve bench \
+        export demo clean
 
 help:
 	@grep -E '^[a-z-]+:' Makefile | cut -d: -f1 | sort | uniq
@@ -20,6 +21,31 @@ test:
 
 test-fast:
 	$(PY) -m pytest tests/ -q -x
+
+coverage:  # CI gate: fails under 75% (reference pyproject.toml:118-124)
+	$(PY) -m pytest tests/ -q --cov=sskd_tpu --cov-report=term-missing \
+		--cov-fail-under=75
+
+fmt:  # (reference Makefile:25-28 fmt = black+ruff; ruff-format here)
+	@command -v ruff >/dev/null 2>&1 \
+		&& (ruff format sskd_tpu tests scripts && ruff check --fix sskd_tpu tests scripts) \
+		|| echo "ruff not installed (CI runs it; pip install ruff locally)"
+
+lint:  # (reference Makefile:30-33 lint = ruff+mypy)
+	@command -v ruff >/dev/null 2>&1 \
+		&& ruff check sskd_tpu tests scripts \
+		|| echo "ruff not installed (CI runs it)"
+	@command -v mypy >/dev/null 2>&1 \
+		&& mypy sskd_tpu --ignore-missing-imports --no-strict-optional \
+		|| echo "mypy not installed (CI runs it)"
+
+typecheck:
+	mypy sskd_tpu --ignore-missing-imports --no-strict-optional
+
+docs:  # (reference Makefile:193-198 docs-serve via mkdocs-material)
+	@command -v mkdocs >/dev/null 2>&1 \
+		&& mkdocs build --strict \
+		|| echo "mkdocs not installed (CI builds the site; pip install mkdocs-material)"
 
 demo-data:
 	$(PY) -m sskd_tpu.cli.main demo-data --out $(DATA_DIR)/raw/demo --samples 200

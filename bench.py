@@ -179,7 +179,10 @@ def main() -> None:
         np.mean([len(set(ia[i].tolist()) & set(gt_idx[i])) / k for i in range(n_val)])
     )
 
-    # exact-kernel recall (1.0 by construction — pinned in the artifact)
+    # exact-kernel recall vs exact-FP32 brute force: the engine is exact over
+    # the int8 index (set-identical to blocked exact, pinned in
+    # tests/scripts/validate_hybrid.py), so this number isolates the int8
+    # QUANTIZATION floor — the approx engine's recall can't beat it
     ve, ie = (
         cosine_topk_pallas(probe_j, c8, k=k, row_scales=scales)
         if backend == "tpu"
@@ -274,7 +277,7 @@ def main() -> None:
             "exact_engine_qps": round(batch / (exact_ms / 1000.0), 1)
             if exact_ms > 0
             else 0.0,
-            "exact_engine_recall_at_k": round(exact_recall, 4),
+            "exact_engine_recall_at_k_vs_exact_f32": round(exact_recall, 4),
             "scale_10m": scale_10m,
         },
     }
