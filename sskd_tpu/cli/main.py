@@ -181,6 +181,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="shard the index over N chips (mesh.index_parallel)",
     )
+    p.add_argument(
+        "--hybrid-bm25",
+        default=None,
+        metavar="DIR",
+        help="enable hybrid BM25+semantic fusion with this BM25 index dir",
+    )
     _add_platform_arg(p)
 
     p = sub.add_parser("export", help="quantized index-matrix / model export")
@@ -474,9 +480,13 @@ def main(argv: list[str] | None = None) -> int:
         from sskd_tpu.serve.app import create_app
         from sskd_tpu.serve.http import Server
 
-        if args.shards:
+        if args.shards or args.hybrid_bm25:
             settings = settings.model_copy(deep=True)
-            settings.mesh.index_parallel = args.shards
+            if args.shards:
+                settings.mesh.index_parallel = args.shards
+            if args.hybrid_bm25:
+                settings.search.hybrid.enabled = True
+                settings.search.hybrid.bm25_index_path = args.hybrid_bm25
         app = create_app(
             settings=settings,
             student_model_path=args.model,

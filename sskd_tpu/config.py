@@ -198,6 +198,32 @@ class ServiceConfig(BaseModel):
     max_connections: int = Field(default=1024, ge=1)
 
 
+class HybridConfig(BaseModel):
+    """Hybrid BM25+semantic fusion — the reference's dead `hybrid:` YAML
+    block implemented for real (reference: configs/service.yaml:44-49 and
+    the `enable_hybrid`/`enable_query_expansion` feature flags at
+    service.yaml:110-113, which no reference code ever consumed)."""
+
+    enabled: bool = False
+    bm25_index_path: str = "artifacts/indexes/bm25"
+    bm25_weight: float = Field(default=0.3, ge=0.0, le=1.0)
+    semantic_weight: float = Field(default=0.7, ge=0.0, le=1.0)
+    fusion_method: Literal["rrf", "linear"] = "rrf"
+    rrf_k: int = Field(default=60, ge=1)
+    query_expansion: bool = False
+    expansion_docs: int = Field(default=3, ge=1)
+    expansion_terms: int = Field(default=5, ge=1)
+
+    @model_validator(mode="after")
+    def _weights_sum(self) -> "HybridConfig":
+        total = self.bm25_weight + self.semantic_weight
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(
+                f"bm25_weight + semantic_weight must sum to 1.0, got {total}"
+            )
+        return self
+
+
 class SearchConfig(BaseModel):
     """Reference: src/config.py:223-238."""
 
@@ -207,6 +233,7 @@ class SearchConfig(BaseModel):
     rerank_top_k: int = Field(default=50, ge=1, le=200)
     rerank_timeout_ms: float = Field(default=5000.0, gt=0.0)
     maxsim_aggregation: bool = False
+    hybrid: HybridConfig = Field(default_factory=HybridConfig)
 
 
 class DataConfig(BaseModel):

@@ -305,6 +305,16 @@ class IndexBuilder:
                 out.append(None)
         return out
 
+    def position_of(self, doc_id: str) -> int | None:
+        """Index position for a doc id (None when unknown). The inverse map
+        is built lazily on first use — the hybrid fusion path needs id->text
+        lookups for BM25-only candidates."""
+        if not hasattr(self, "_pos_by_id") or len(self._pos_by_id) != len(
+            self.doc_ids
+        ):
+            self._pos_by_id = {d: i for i, d in enumerate(self.doc_ids)}
+        return self._pos_by_id.get(doc_id)
+
     # ------------------------------------------------------------------
     # Validation gate
     # ------------------------------------------------------------------

@@ -16,7 +16,10 @@ Surface parity:
 
 TPU addition: optional MaxSim doc-level aggregation over chunk hits
 (``search.maxsim_aggregation``) — the reference's dead feature made real
-(SURVEY.md 5.7).
+(SURVEY.md 5.7). Hybrid BM25+semantic fusion (``search.hybrid``) likewise
+implements the reference's dead ``hybrid:``/``enable_hybrid`` config
+(reference: configs/service.yaml:44-49,110-113) for real — see
+``sskd_tpu/serve/hybrid.py``.
 """
 
 from __future__ import annotations
@@ -76,6 +79,7 @@ class AppState:
         self.settings: Settings | None = None
         self.ready: bool = False
         self.search_batcher = None  # MicroBatcher when enabled
+        self.hybrid = None  # HybridSearcher when search.hybrid.enabled
 
     def search_index(self, q_emb, k: int):
         """Route to the ICI-sharded engine when present, else single-chip."""
@@ -236,6 +240,32 @@ def create_app(
             state.maybe_shard_index(settings)
             state.make_fused()
             m.INDEX_SIZE.set(state.index_builder.ntotal)
+        if settings.search.hybrid.enabled:
+            # same degradation contract as the teacher: a missing/corrupt
+            # BM25 arm logs and falls back to dense-only serving
+            try:
+                from sskd_tpu.mining.bm25 import BM25Index
+                from sskd_tpu.serve.hybrid import HybridSearcher
+
+                h = settings.search.hybrid
+                state.hybrid = HybridSearcher(
+                    BM25Index.load(h.bm25_index_path),
+                    bm25_weight=h.bm25_weight,
+                    semantic_weight=h.semantic_weight,
+                    fusion_method=h.fusion_method,
+                    rrf_k=h.rrf_k,
+                    query_expansion=h.query_expansion,
+                    expansion_docs=h.expansion_docs,
+                    expansion_terms=h.expansion_terms,
+                )
+                logger.info(
+                    f"hybrid search enabled: {h.fusion_method} fusion, "
+                    f"bm25={h.bm25_weight}/semantic={h.semantic_weight}, "
+                    f"{state.hybrid.bm25.ntotal} lexical docs"
+                )
+            except Exception:
+                logger.exception("BM25 arm load failed — hybrid disabled")
+                state.hybrid = None
         # Warmup: trigger XLA compilation of the encode (and search, when an
         # index is preloaded) paths so the first request doesn't pay the
         # multi-second compile (keeps the reference's p95 CI gates honest,
@@ -426,6 +456,32 @@ def create_app(
             score_row = [float(s) for s in agg_scores]
             texts = [text_by_doc.get(d) for d in doc_ids]
 
+        hybrid_used = False
+        if state.hybrid is not None:
+            # fuse the dense ranking with the BM25 arm (RRF or linear);
+            # BM25-only candidates resolve their text through the builder's
+            # id->position map, falling back to the BM25 token store
+            fused = state.hybrid.fuse(
+                body.query, list(zip(doc_ids, score_row)), k=fetch_k
+            )
+            text_by_doc = {d: t for d, t in zip(doc_ids, texts)}
+            doc_ids, score_row, texts = [], [], []
+            for d, s in fused:
+                doc_ids.append(d)
+                score_row.append(float(s))
+                if d in text_by_doc:
+                    texts.append(text_by_doc[d])
+                else:
+                    pos = state.index_builder.position_of(d)
+                    if pos is not None:
+                        texts.append(state.index_builder.get_texts([pos])[0])
+                    else:
+                        try:
+                            texts.append(state.hybrid.bm25.get_doc_text(d))
+                        except Exception:
+                            texts.append(None)
+            hybrid_used = True
+
         results = [
             SearchResult(doc_id=d, text=t, score=s, rank=r + 1)
             for r, (d, t, s) in enumerate(zip(doc_ids, texts, score_row))
@@ -479,7 +535,7 @@ def create_app(
         latency_ms = (time.perf_counter() - t_start) * 1000.0
         logger.info(
             f"search qhash={hash_query(body.query)} k={body.k} "
-            f"rerank={reranked} latency_ms={latency_ms:.1f}"
+            f"rerank={reranked} hybrid={hybrid_used} latency_ms={latency_ms:.1f}"
         )
         return Response(
             {
@@ -487,6 +543,7 @@ def create_app(
                 "results": [r.model_dump() for r in results],
                 "total_results": len(results),
                 "reranked": reranked,
+                "hybrid": hybrid_used,
                 "latency_ms": latency_ms,
             }
         )
