@@ -25,6 +25,7 @@ class SearchResponse(BaseModel):
     results: list[SearchResult]
     total_results: int
     reranked: bool
+    hybrid: bool = False  # BM25+semantic fusion ran (TPU-build addition)
     latency_ms: float
 
 
