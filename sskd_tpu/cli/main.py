@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--dtype", default=None,
                     choices=["float32", "bfloat16", "int8"],
                     help="default: index.dtype setting")
+    pb.add_argument("--method", default=None,
+                    choices=["exact", "approx", "clustered"],
+                    help="default: index.search_method setting")
     pb.add_argument("--tiny", action="store_true")
     _add_platform_arg(pb)
     pv = index_sub.add_parser("validate", help="recall gate vs brute force")
@@ -367,10 +370,12 @@ def main(argv: list[str] | None = None) -> int:
             builder = IndexBuilder(
                 embedding_dim=student.embedding_dim,
                 dtype=args.dtype or settings.index.dtype,
-                index_type=settings.index.search_method,
+                index_type=args.method or settings.index.search_method,
                 metric=settings.index.metric,
                 block_rows=settings.index.block_rows,
                 recall_target=settings.index.recall_target,
+                cluster_rows=settings.index.cluster_rows,
+                nprobe=settings.index.nprobe,
             )
             builder.build_from_parquet(
                 student, args.data, batch_size=args.batch_size, max_docs=args.max_docs

@@ -119,10 +119,14 @@ class IndexConfig(BaseModel):
     embedding_dim: int = Field(default=384, ge=1)
     metric: Literal["cosine", "dot"] = "cosine"
     dtype: Literal["float32", "bfloat16", "int8"] = "float32"
-    search_method: Literal["exact", "approx"] = "approx"
+    # "clustered" = balanced cell-probe pruning, the IVF analog (reference:
+    # src/config.py FAISSConfig ivf params) — small-batch latency engine
+    search_method: Literal["exact", "approx", "clustered"] = "approx"
     recall_target: float = Field(default=0.99, ge=0.5, le=1.0)
     block_rows: int = Field(default=262144, ge=128)
     default_k: int = Field(default=10, ge=1)
+    cluster_rows: int = Field(default=0, ge=0)  # 0 = auto (~sqrt N)
+    nprobe: int = Field(default=32, ge=1)
     validation_queries: int = Field(default=1000, ge=1)
     validation_recall_at_10: float = Field(default=0.97, ge=0.0, le=1.0)
 

@@ -59,17 +59,25 @@ class IndexBuilder:
         dtype: str = "float32",
         block_rows: int = 262144,
         recall_target: float = 0.99,
+        cluster_rows: int = 0,
+        nprobe: int = 32,
     ):
-        """``index_type``: "exact" (blocked full top-k, recall 1.0) or
+        """``index_type``: "exact" (blocked full top-k, recall 1.0),
         "approx" (fused binned top-k — the TPU-native analog of the
         reference's HNSW approximation, ~9x faster at 1M rows, gated by
         ``validate()`` against the same recall@10 >= 0.97 criterion,
-        reference: configs/index.yaml:52-56)."""
+        reference: configs/index.yaml:52-56), or "clustered" (balanced
+        cell-probe pruning — the IVF analog, reference: src/config.py
+        FAISSConfig ivf params; sweeps only ``nprobe`` cells per query for
+        small-batch latency; large batches fall back to the approx sweep).
+
+        ``cluster_rows``: target rows per cell for "clustered" (0 = auto,
+        ~sqrt(N)). ``nprobe``: probed cells per query."""
         if metric not in ("cosine", "dot"):
             raise IndexBuildError(f"unsupported metric {metric!r}")
         if dtype not in ("float32", "bfloat16", "int8"):
             raise IndexBuildError(f"unsupported index dtype {dtype!r}")
-        if index_type not in ("exact", "approx"):
+        if index_type not in ("exact", "approx", "clustered"):
             raise IndexBuildError(f"unsupported index_type {index_type!r}")
         self.embedding_dim = embedding_dim
         self.index_type = index_type
@@ -77,13 +85,21 @@ class IndexBuilder:
         self.dtype = dtype
         self.block_rows = block_rows
         self.recall_target = recall_target
+        self.cluster_rows = cluster_rows
+        self.nprobe = nprobe
         self.doc_ids: list[str] = []
         self.texts: list[str] | None = None
         self._vectors: np.ndarray | None = None  # f32 or int8
         self._scales: np.ndarray | None = None
         self._norms: np.ndarray | None = None
+        # clustered mode: vectors are stored row-REORDERED so each cell is
+        # one contiguous block; _perm maps reordered position -> original
+        self._perm: np.ndarray | None = None
+        self._centroids: np.ndarray | None = None
+        self._rows_per_cell: int = 0
         self._device_vectors = None  # jax arrays, lazily placed
         self._device_scales = None
+        self._device_centroids = None
 
     # ------------------------------------------------------------------
     # Introspection
@@ -118,7 +134,14 @@ class IndexBuilder:
         norms = np.linalg.norm(emb, axis=1)
         if self.metric == "cosine":
             emb = emb / np.maximum(norms[:, None], 1e-12)
-        self._norms = norms.astype(np.float32)
+        self._norms = norms.astype(np.float32)  # ORIGINAL row order
+        if self.index_type == "clustered":
+            from sskd_tpu.ops.cluster import auto_cells, build_clusters
+
+            n_cells, rpc = auto_cells(emb.shape[0], self.cluster_rows)
+            self._perm, self._centroids = build_clusters(emb, n_cells, rpc)
+            self._rows_per_cell = rpc
+            emb = emb[self._perm]  # cell-contiguous storage
         if self.dtype == "int8":
             from sskd_tpu.ops.quant import quantize_rows
 
@@ -179,6 +202,9 @@ class IndexBuilder:
         if self.texts is not None:
             with open(out / "texts.json", "w") as f:
                 json.dump(self.texts, f)
+        if self._perm is not None:
+            np.save(out / "perm.npy", self._perm)
+            np.save(out / "centroids.npy", self._centroids)
         meta = {
             "embedding_dim": self.embedding_dim,
             "index_type": self.index_type,
@@ -193,6 +219,13 @@ class IndexBuilder:
                 ).hexdigest(),
             },
         }
+        if self._perm is not None:
+            meta["cluster"] = {
+                "rows_per_cell": self._rows_per_cell,
+                "n_cells": int(self._centroids.shape[0]),
+                "nprobe": self.nprobe,
+            }
+            meta["checksums"]["perm"] = _sha256(self._perm)
         with open(out / "meta.json", "w") as f:
             json.dump(meta, f, indent=2)
         (out / "INDEX_VERSION").write_text(INDEX_VERSION + "\n")
@@ -245,7 +278,19 @@ class IndexBuilder:
                 self.texts = json.load(f)
         else:
             self.texts = None
+        if "cluster" in meta:
+            self._perm = np.load(path / "perm.npy")
+            if _sha256(self._perm) != meta["checksums"].get("perm"):
+                raise IndexLoadError("perm checksum mismatch — corrupt index")
+            self._centroids = np.load(path / "centroids.npy")
+            self._rows_per_cell = int(meta["cluster"]["rows_per_cell"])
+            self.nprobe = int(meta["cluster"]["nprobe"])
+        else:
+            self._perm = None
+            self._centroids = None
+            self._rows_per_cell = 0
         self._device_vectors = None
+        self._device_centroids = None
         logger.info(f"loaded index from {path} (ntotal={self.ntotal})")
         return self
 
@@ -257,9 +302,38 @@ class IndexBuilder:
         import jax.numpy as jnp
 
         if self._device_vectors is None:
-            self._device_vectors = jnp.asarray(self._vectors)
+            # Pre-pad rows to the Pallas block multiple ONCE at staging time.
+            # Without this the exact Pallas engine pads inside the jit on
+            # every call, materializing a full corpus copy per search
+            # (pallas_call inputs can't fuse pads); searches mask rows
+            # >= valid_n (= ntotal) so results are unchanged.
+            from sskd_tpu.ops.topk_pallas import BLOCK_ROWS
+
+            n = self._vectors.shape[0]
+            padded = -(-n // BLOCK_ROWS) * BLOCK_ROWS if n >= BLOCK_ROWS else n
+            if self._perm is not None:
+                # clustered storage must cover every full cell block
+                padded = max(
+                    padded, self._centroids.shape[0] * self._rows_per_cell
+                )
+            vec = self._vectors
+            scales = self._scales
+            if padded != n:
+                vec = np.concatenate(
+                    [vec, np.zeros((padded - n, vec.shape[1]), vec.dtype)]
+                )
+                if scales is not None:
+                    scales = np.concatenate(
+                        [scales, np.ones(padded - n, scales.dtype)]
+                    )
+            self._device_vectors = jnp.asarray(vec)
             self._device_scales = (
-                jnp.asarray(self._scales) if self._scales is not None else None
+                jnp.asarray(scales) if scales is not None else None
+            )
+            self._device_centroids = (
+                jnp.asarray(self._centroids)
+                if self._centroids is not None
+                else None
             )
 
     def search(self, query_emb: np.ndarray, k: int = 10):
@@ -284,6 +358,37 @@ class IndexBuilder:
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         self._ensure_device()
         block = min(self.block_rows, max(128, self.ntotal))
+        if self.index_type == "clustered":
+            from sskd_tpu.ops.topk_cluster import (
+                CLUSTER_MAX_BATCH,
+                clustered_topk,
+            )
+
+            if q.shape[0] <= CLUSTER_MAX_BATCH:
+                vals, idx = clustered_topk(
+                    jnp.asarray(q),
+                    self._device_vectors,
+                    self._device_centroids,
+                    k=k,
+                    nprobe=self.nprobe,
+                    rows_per_cell=self._rows_per_cell,
+                    row_scales=self._device_scales,
+                    valid_n=self.ntotal,
+                )
+            else:
+                # probe union approaches the corpus at large B — the full
+                # approx sweep is the better engine there
+                vals, idx = cosine_topk(
+                    jnp.asarray(q),
+                    self._device_vectors,
+                    k=k,
+                    block_rows=block,
+                    row_scales=self._device_scales,
+                    valid_n=self.ntotal,
+                    method="approx",
+                    recall_target=self.recall_target,
+                )
+            return np.asarray(vals), self.map_positions(np.asarray(idx))
         vals, idx = cosine_topk(
             jnp.asarray(q),
             self._device_vectors,
@@ -295,6 +400,15 @@ class IndexBuilder:
             recall_target=self.recall_target,
         )
         return np.asarray(vals), np.asarray(idx)
+
+    def map_positions(self, idx: np.ndarray) -> np.ndarray:
+        """Map engine positions to ORIGINAL row positions (identity unless
+        the index is clustered, whose rows are stored cell-reordered)."""
+        if self._perm is None:
+            return idx
+        idx = np.asarray(idx)
+        safe = np.clip(idx, 0, len(self._perm) - 1)
+        return np.where(idx >= 0, self._perm[safe], -1).astype(idx.dtype)
 
     def get_texts(self, indices: Sequence[int]) -> list[str | None]:
         out = []
@@ -343,10 +457,22 @@ class IndexBuilder:
             np.float32
         )
         queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-        # ground truth: f32 brute force
+        # ground truth: f32 brute force (positions mapped to original order
+        # when the storage is cell-reordered)
         gt_scores = queries @ full.T
-        gt_top = np.argsort(-gt_scores, axis=1)[:, :k]
-        _, idx = self.search(queries, k=k)
+        gt_top = self.map_positions(np.argsort(-gt_scores, axis=1)[:, :k])
+        if self.index_type == "clustered":
+            # chunk below the dispatcher threshold so the gate measures the
+            # cell-probe path, not the large-batch sweep fallback
+            from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+            parts = [
+                self.search(queries[i : i + CLUSTER_MAX_BATCH], k=k)[1]
+                for i in range(0, n, CLUSTER_MAX_BATCH)
+            ]
+            idx = np.concatenate(parts, axis=0)
+        else:
+            _, idx = self.search(queries, k=k)
         recall = float(
             np.mean(
                 [

@@ -202,6 +202,17 @@ class ShardedIndex:
         Uses the builder's stored (already normalized, already quantized/cast)
         rows directly — no dequantize/requantize round-trip (VERDICT round-1
         missing #6)."""
+        if getattr(builder, "_perm", None) is not None:
+            # clustered rows are cell-reordered; positions would need the
+            # builder's permutation after the all-gather merge — shard the
+            # cells themselves when this lands. Until then, sharded serving
+            # uses the approx sweep over an unclustered index.
+            from sskd_tpu.exceptions import IndexBuildError
+
+            raise IndexBuildError(
+                "clustered indexes cannot be ICI-sharded yet — rebuild with "
+                "search_method approx/exact for sharded serving"
+            )
         idx = cls(
             mesh,
             axis=axis,

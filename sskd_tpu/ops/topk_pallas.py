@@ -57,6 +57,12 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min / 2)  # python literal: kernels
 
 BIN_W = 128  # bin = 128 contiguous corpus rows (one lane tile in phase B)
 K_MAX = 256  # dispatcher cap: beyond this, phase B gathers beat a full sweep
+BLOCK_ROWS = 16384  # default phase-A block; callers that pre-pad the corpus
+# to a multiple of this (IndexBuilder._ensure_device) skip the in-jit
+# `jnp.pad` below, which otherwise MATERIALIZES a full corpus copy per call
+# (pallas_call inputs can't fuse a pad the way dot_general reads can) —
+# ~384 MB of HBM traffic per search at 1M int8 rows. Any power-of-two
+# auto-halving of the block divides this, so one pad fits all block sizes.
 
 
 def _binmax_kernel(
@@ -175,7 +181,7 @@ def cosine_topk_pallas(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     k: int,
-    block_rows: int = 16384,
+    block_rows: int = BLOCK_ROWS,
     row_scales: jnp.ndarray | None = None,
     valid_n: int | None = None,
     interpret: bool | None = None,

@@ -45,17 +45,25 @@ class FusedSearcher:
         """Device-side (q, *index_args) -> (vals, idx) for composition
         inside the fused jit."""
         builder = self.builder
-        from sskd_tpu.ops.topk import cosine_topk_core
+        # cosine_topk (not _core): exact-mode serving then dispatches to the
+        # binned Pallas engine on TPU — the gate reads only static shape/
+        # dtype/backend facts, so it composes inside the fused jit
+        from sskd_tpu.ops.topk import cosine_topk
+
+        # clustered indexes serve the micro-batched (large-B) path with the
+        # approx sweep over their reordered rows; positions are mapped back
+        # to original order in search_texts
+        method = "approx" if builder.index_type == "clustered" else builder.index_type
 
         def topk(q, corpus, scales=None):
-            return cosine_topk_core(
+            return cosine_topk(
                 q,
                 corpus,
                 k=k,
                 block_rows=builder.block_rows,
                 row_scales=scales,
                 valid_n=builder.ntotal,
-                method=builder.index_type,
+                method=method,
                 recall_target=builder.recall_target,
             )
 
@@ -65,6 +73,11 @@ class FusedSearcher:
         if self.builder._device_scales is not None:
             return (self.builder._device_vectors, self.builder._device_scales)
         return (self.builder._device_vectors,)
+
+    def _map_positions(self, idx: np.ndarray) -> np.ndarray:
+        """Engine positions -> original row positions (identity unless the
+        backing store is cell-reordered, i.e. a clustered index)."""
+        return self.builder.map_positions(idx)
 
     # -- shared frame ------------------------------------------------------
 
@@ -106,7 +119,8 @@ class FusedSearcher:
             batch["attention_mask"],
             *self._index_args(),
         )
-        return np.asarray(vals)[:n, :k], np.asarray(idx)[:n, :k]
+        idx = self._map_positions(np.asarray(idx))
+        return np.asarray(vals)[:n, :k], idx[:n, :k]
 
     def warmup(self, max_batch: int = 64, k: int = 10) -> None:
         bucket = 16
@@ -136,3 +150,8 @@ class ShardedFusedSearcher(FusedSearcher):
 
     def _index_args(self) -> tuple:
         return self.sharded.index_args()
+
+    def _map_positions(self, idx: np.ndarray) -> np.ndarray:
+        # sharded stores reject clustered layouts (sharded.py from_builder),
+        # so shard-merged positions are already original row positions
+        return idx

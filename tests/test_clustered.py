@@ -1,0 +1,230 @@
+"""Clustered (cell-probe) index mode — the TPU-native IVF analog
+(reference surface: src/config.py FAISSConfig ivf params + the IVF-PQ
+scale story in docs/operations/scaling-and-performance.md:115-152).
+
+Pins: balanced-partition invariants, probe-search exactness at full
+nprobe, recall on clusterable data at small nprobe, builder round-trip
+with the permutation/centroid layout, position mapping through serving."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sskd_tpu.index.builder import IndexBuilder
+from sskd_tpu.ops.cluster import auto_cells, build_clusters
+from sskd_tpu.ops.topk_cluster import clustered_topk
+
+
+def _mixture(n, d, n_modes, spread, seed=0):
+    """Gaussian-mixture corpus on the sphere — the data regime clustering
+    exists for."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_modes, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_modes, n)
+    x = centers[assign] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x.astype(np.float32)
+
+
+class TestBuildClusters:
+    def test_perm_is_permutation_and_balanced(self):
+        x = _mixture(3000, 32, 8, 0.2)
+        n_cells, rpc = auto_cells(3000, target_rows_per_cell=512)
+        perm, cent = build_clusters(x, n_cells, rpc)
+        assert sorted(perm.tolist()) == list(range(3000))
+        assert cent.shape == (n_cells, 32)
+        # every cell except the last holds exactly rpc rows
+        assert (n_cells - 1) * rpc < 3000 <= n_cells * rpc
+
+    def test_centroids_normalized(self):
+        x = _mixture(1000, 16, 4, 0.1)
+        n_cells, rpc = auto_cells(1000, 256)
+        _, cent = build_clusters(x, n_cells, rpc)
+        np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+
+    def test_cells_are_coherent(self):
+        # rows in one cell should be nearer their own centroid than a
+        # random cell's centroid, on strongly clustered data
+        x = _mixture(2048, 32, 4, 0.05, seed=1)
+        n_cells, rpc = auto_cells(2048, 256)
+        perm, cent = build_clusters(x, n_cells, rpc)
+        xr = x[perm]
+        own = ((xr[:rpc] @ cent[0]) > (xr[:rpc] @ cent[n_cells - 1])).mean()
+        assert own > 0.9
+
+    def test_auto_cells_rounding(self):
+        n_cells, rpc = auto_cells(1_000_000)
+        assert rpc % 256 == 0
+        assert n_cells * rpc >= 1_000_000
+        assert abs(rpc - 1000) < 300  # ~sqrt(N)
+
+
+class TestClusteredTopk:
+    def _setup(self, n=2048, d=32, dtype="float32"):
+        import jax.numpy as jnp
+
+        x = _mixture(n, d, 8, 0.15)
+        n_cells, rpc = auto_cells(n, 256)
+        perm, cent = build_clusters(x, n_cells, rpc)
+        xr = x[perm]
+        scales = None
+        if dtype == "int8":
+            from sskd_tpu.ops.quant import quantize_rows
+
+            xr_q, s = quantize_rows(xr)
+            corpus = jnp.asarray(np.asarray(xr_q))
+            scales = jnp.asarray(np.asarray(s, np.float32))
+        else:
+            corpus = jnp.asarray(xr)
+        # pad to full cells
+        pad = n_cells * rpc - corpus.shape[0]
+        if pad:
+            corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+            if scales is not None:
+                scales = jnp.pad(scales, (0, pad), constant_values=1.0)
+        q = _mixture(8, d, 8, 0.15, seed=42)
+        return q, x, corpus, jnp.asarray(cent), perm, rpc, n_cells, scales, n
+
+    def test_full_nprobe_is_exact(self):
+        q, x, corpus, cent, perm, rpc, n_cells, scales, n = self._setup()
+        vals, idx = clustered_topk(
+            np.asarray(q), corpus, cent, k=10, nprobe=n_cells,
+            rows_per_cell=rpc, row_scales=scales, valid_n=n,
+        )
+        idx = np.asarray(idx)
+        gt = np.argsort(-(q @ x.T), axis=1)[:, :10]
+        mapped = perm[idx]  # reordered -> original
+        for i in range(q.shape[0]):
+            assert set(mapped[i]) == set(gt[i])
+
+    def test_small_nprobe_recall_on_clustered_data(self):
+        q, x, corpus, cent, perm, rpc, n_cells, scales, n = self._setup()
+        nprobe = max(2, n_cells // 4)
+        vals, idx = clustered_topk(
+            np.asarray(q), corpus, cent, k=10, nprobe=nprobe,
+            rows_per_cell=rpc, row_scales=scales, valid_n=n,
+        )
+        mapped = perm[np.clip(np.asarray(idx), 0, n - 1)]
+        gt = np.argsort(-(q @ x.T), axis=1)[:, :10]
+        recall = np.mean(
+            [len(set(mapped[i]) & set(gt[i])) / 10 for i in range(q.shape[0])]
+        )
+        # probing a quarter of the cells must recover far more than a
+        # quarter of the true neighbors (pruning follows the data), and
+        # most of them outright on clusterable data
+        assert recall >= 0.7
+        assert recall >= 2.5 * nprobe / n_cells
+
+    def test_int8_path(self):
+        q, x, corpus, cent, perm, rpc, n_cells, scales, n = self._setup(
+            dtype="int8"
+        )
+        assert scales is not None
+        vals, idx = clustered_topk(
+            np.asarray(q), corpus, cent, k=5, nprobe=n_cells,
+            rows_per_cell=rpc, row_scales=scales, valid_n=n,
+        )
+        idx = np.asarray(idx)
+        assert ((idx >= 0) & (idx < n)).all()
+        # scores descending
+        v = np.asarray(vals)
+        assert (np.diff(v, axis=1) <= 1e-6).all()
+
+    def test_tail_padding_never_returned(self):
+        q, x, corpus, cent, perm, rpc, n_cells, scales, n = self._setup()
+        _, idx = clustered_topk(
+            np.asarray(q), corpus, cent, k=10, nprobe=n_cells,
+            rows_per_cell=rpc, row_scales=scales, valid_n=n,
+        )
+        assert (np.asarray(idx) < n).all()
+
+
+class TestClusteredBuilder:
+    def _build(self, tmp_path, n=1500, d=32, dtype="float32"):
+        x = _mixture(n, d, 6, 0.15)
+        ids = [f"d{i}" for i in range(n)]
+        b = IndexBuilder(
+            embedding_dim=d, index_type="clustered", dtype=dtype,
+            cluster_rows=256, nprobe=4,
+        )
+        b.build_from_arrays(x, ids, texts=[f"text {i}" for i in range(n)])
+        return b, x, ids
+
+    def test_search_maps_to_original_positions(self, tmp_path):
+        b, x, ids = self._build(tmp_path)
+        # self-retrieval: each query row must find itself first
+        q = x[:8]
+        vals, idx = b.search(q, k=3)
+        assert [ids[i] for i in idx[:, 0]] == [f"d{i}" for i in range(8)]
+
+    def test_save_load_roundtrip(self, tmp_path):
+        b, x, ids = self._build(tmp_path)
+        out = tmp_path / "cidx"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+        assert b2.index_type == "clustered"
+        assert b2._perm is not None and b2._centroids is not None
+        assert b2.nprobe == 4
+        v1, i1 = b.search(x[:4], k=5)
+        v2, i2 = b2.search(x[:4], k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+    def test_perm_checksum_guard(self, tmp_path):
+        b, x, ids = self._build(tmp_path)
+        out = tmp_path / "cidx"
+        b.save(out)
+        perm = np.load(out / "perm.npy")
+        perm[:2] = perm[[1, 0]]
+        np.save(out / "perm.npy", perm)
+        from sskd_tpu.exceptions import IndexLoadError
+
+        with pytest.raises(IndexLoadError):
+            IndexBuilder().load(out)
+
+    def test_validate_gate_runs_cell_probe_path(self, tmp_path):
+        b, x, ids = self._build(tmp_path)
+        report = b.validate(n_queries=64, k=10)
+        assert report["recall@10"] >= 0.9  # clusterable data
+
+    def test_large_batch_falls_back_to_sweep(self, tmp_path):
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+        b, x, ids = self._build(tmp_path)
+        q = x[: CLUSTER_MAX_BATCH + 8]
+        vals, idx = b.search(q, k=3)
+        # fallback still maps positions: self-retrieval holds
+        assert [ids[i] for i in idx[:, 0]][:8] == [f"d{i}" for i in range(8)]
+
+    def test_int8_clustered(self, tmp_path):
+        b, x, ids = self._build(tmp_path, dtype="int8")
+        vals, idx = b.search(x[:4], k=3)
+        assert [ids[i] for i in idx[:, 0]] == [f"d{i}" for i in range(4)]
+
+    def test_sharding_clustered_rejected(self, tmp_path):
+        b, x, ids = self._build(tmp_path)
+        from sskd_tpu.exceptions import IndexBuildError
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data_parallel=1, index_parallel=2)
+        with pytest.raises(IndexBuildError):
+            ShardedIndex.from_builder(b, mesh)
+
+
+class TestClusteredServing:
+    def test_fused_search_maps_positions(self, tmp_path):
+        """The fused serving path (approx sweep over reordered rows) must
+        return original positions for doc-id lookup."""
+        x = _mixture(1200, 32, 6, 0.15)
+        ids = [f"d{i}" for i in range(1200)]
+        b = IndexBuilder(
+            embedding_dim=32, index_type="clustered", cluster_rows=256, nprobe=4
+        )
+        b.build_from_arrays(x, ids)
+        mapped = b.map_positions(np.array([[0, 5, -1]]))
+        assert mapped.shape == (1, 3)
+        assert mapped[0, 2] == -1
+        assert 0 <= mapped[0, 0] < 1200
