@@ -45,6 +45,12 @@ logger = get_logger("index.sharded")
 SHARDED_INDEX_VERSION = "sskd-sharded-1"
 
 
+def _cluster_max_batch() -> int:
+    from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+    return CLUSTER_MAX_BATCH
+
+
 def _file_sha256(path: Path, chunk: int = 1 << 22) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -84,13 +90,25 @@ class ShardedIndex:
         self.doc_ids: list[str] = []
         self._vectors = None  # device array sharded on rows
         self._scales = None
-        self._search_fns: dict[int, object] = {}  # per-k jit cache
+        self._search_fns: dict[tuple, object] = {}  # per-(k, B-bucket) jit cache
+        # clustered mode: whole cells are sharded (contiguous reordered row
+        # blocks); _perm maps reordered position -> original row
+        self._perm: np.ndarray | None = None
+        self._centroids = None  # device array sharded on cells
+        self._rows_per_cell = 0
+        self._n_cells = 0
+        self.nprobe = 32
 
     # ------------------------------------------------------------------
     # Placement
     # ------------------------------------------------------------------
 
     def _padded_rows(self, ntotal: int) -> int:
+        if self._rows_per_cell:
+            # clustered: shards own whole cells, so the per-shard row count
+            # is cell-aligned (cells_per_shard * rows_per_cell)
+            cps = -(-self._n_cells // self.n_shards)
+            return cps * self._rows_per_cell
         per_shard = -(-ntotal // self.n_shards)
         per_shard = -(-per_shard // 128) * 128
         return per_shard
@@ -202,17 +220,6 @@ class ShardedIndex:
         Uses the builder's stored (already normalized, already quantized/cast)
         rows directly — no dequantize/requantize round-trip (VERDICT round-1
         missing #6)."""
-        if getattr(builder, "_perm", None) is not None:
-            # clustered rows are cell-reordered; positions would need the
-            # builder's permutation after the all-gather merge — shard the
-            # cells themselves when this lands. Until then, sharded serving
-            # uses the approx sweep over an unclustered index.
-            from sskd_tpu.exceptions import IndexBuildError
-
-            raise IndexBuildError(
-                "clustered indexes cannot be ICI-sharded yet — rebuild with "
-                "search_method approx/exact for sharded serving"
-            )
         idx = cls(
             mesh,
             axis=axis,
@@ -220,6 +227,18 @@ class ShardedIndex:
             method=builder.index_type,
             recall_target=builder.recall_target,
         )
+        if getattr(builder, "_perm", None) is not None:
+            # clustered: shard whole cells — each shard owns a contiguous
+            # block of cells (and their already-reordered rows), probes its
+            # local top-nprobe cells, and the all-gather merge picks the
+            # global top-k. Every shard probing nprobe cells means the union
+            # probes MORE cells than the single-device engine, so sharded
+            # recall >= unsharded recall at equal nprobe (the FAISS
+            # IndexShards convention).
+            idx._set_cluster(
+                builder._perm, builder._centroids, builder._rows_per_cell,
+                builder.nprobe,
+            )
         vec = builder._vectors
         scales = builder._scales
         idx._place_from_source(
@@ -233,9 +252,35 @@ class ShardedIndex:
         )
         logger.info(
             f"sharded index from builder: ntotal={idx.ntotal} "
-            f"shards={idx.n_shards} dtype={idx.dtype}"
+            f"shards={idx.n_shards} dtype={idx.dtype} "
+            f"{'clustered' if idx._perm is not None else idx.method}"
         )
         return idx
+
+    def _set_cluster(
+        self,
+        perm: np.ndarray,
+        centroids: np.ndarray,
+        rows_per_cell: int,
+        nprobe: int,
+    ) -> None:
+        """Record the cell layout and place centroids sharded on the cell
+        axis (padded with zero centroids whose rows are masked by valid_n)."""
+        self._perm = np.asarray(perm)
+        self._rows_per_cell = int(rows_per_cell)
+        self._n_cells = int(centroids.shape[0])
+        self.nprobe = int(nprobe)
+        cps = -(-self._n_cells // self.n_shards)
+        padded_cells = cps * self.n_shards
+        cent = np.asarray(centroids, np.float32)
+        if padded_cells != cent.shape[0]:
+            cent = np.concatenate(
+                [cent, np.zeros((padded_cells - cent.shape[0], cent.shape[1]),
+                                np.float32)]
+            )
+        self._centroids = jax.device_put(
+            cent, NamedSharding(self.mesh, P(self.axis, None))
+        )
 
     # ------------------------------------------------------------------
     # Persistence (checksummed + versioned, like builder.py:167-250)
@@ -270,6 +315,21 @@ class ShardedIndex:
         }
         if self._scales is not None:
             meta["checksums"]["scales"] = _file_sha256(out / "scales.npy")
+        if self._perm is not None:
+            np.save(out / "perm.npy", self._perm)
+            # save UNPADDED centroids (mesh-shape agnostic, like the rows)
+            np.save(
+                out / "centroids.npy",
+                np.asarray(self._centroids)[: self._n_cells],
+            )
+            meta["cluster"] = {
+                "rows_per_cell": self._rows_per_cell,
+                "n_cells": self._n_cells,
+                "nprobe": self.nprobe,
+            }
+            meta["checksums"]["perm"] = hashlib.sha256(
+                self._perm.tobytes()
+            ).hexdigest()
         with open(out / "meta.json", "w") as f:
             json.dump(meta, f, indent=2)
         (out / "INDEX_VERSION").write_text(SHARDED_INDEX_VERSION + "\n")
@@ -311,6 +371,19 @@ class ShardedIndex:
         self.metric = meta["metric"]
         self.method = meta.get("method", "exact")
         self.recall_target = meta.get("recall_target", 0.99)
+        if "cluster" in meta:
+            perm = np.load(path / "perm.npy")
+            if (
+                hashlib.sha256(perm.tobytes()).hexdigest()
+                != meta["checksums"].get("perm")
+            ):
+                raise IndexLoadError("perm checksum mismatch — corrupt index")
+            self._set_cluster(
+                perm,
+                np.load(path / "centroids.npy"),
+                int(meta["cluster"]["rows_per_cell"]),
+                int(meta["cluster"]["nprobe"]),
+            )
         self._place_from_source(
             lambda a, b: np.asarray(vectors[a:b]),
             int(meta["embedding_dim"]),
@@ -341,31 +414,64 @@ class ShardedIndex:
         rows_per_shard = self.rows_per_shard
         block = min(self.block_rows, rows_per_shard)
         has_scales = self._scales is not None
+        clustered = self._perm is not None
+        rpc = self._rows_per_cell
+        nprobe = self.nprobe
+        recall_target = self.recall_target
+        method = self.method
 
-        def local_search(queries, shard, shard_scales=None):
+        def local_search(queries, shard, shard_scales=None, shard_cent=None):
             my = jax.lax.axis_index(axis)
             offset = my * rows_per_shard
-            vals, idx = cosine_topk_core(
-                queries,
-                shard,
-                k=k,
-                block_rows=block,
-                row_scales=shard_scales,
-                valid_n=ntotal,
-                index_offset=offset,
-                method=self.method,
-                recall_target=self.recall_target,
-            )
+            if clustered and queries.shape[0] <= _cluster_max_batch():
+                from sskd_tpu.ops.topk_cluster import clustered_topk
+
+                local_cells = shard.shape[0] // rpc
+                vals, idx = clustered_topk(
+                    queries,
+                    shard,
+                    shard_cent,
+                    k=k,
+                    nprobe=min(nprobe, local_cells),
+                    rows_per_cell=rpc,
+                    row_scales=shard_scales,
+                    valid_n=ntotal,
+                    index_offset=offset,
+                )
+            else:
+                # non-clustered, or a batch large enough that the probe
+                # union approaches the local corpus: full local sweep
+                # (reordered rows sweep identically; positions are mapped
+                # through the permutation after the merge)
+                vals, idx = cosine_topk_core(
+                    queries,
+                    shard,
+                    k=k,
+                    block_rows=block,
+                    row_scales=shard_scales,
+                    valid_n=ntotal,
+                    index_offset=offset,
+                    method="approx" if clustered else method,
+                    recall_target=recall_target,
+                )
             # all-gather candidates from every shard, merge to global top-k
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
             all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
             return merge_topk(all_vals, all_idx, k)
 
-        in_specs = [P(), P(axis, None)] + ([P(axis)] if has_scales else [])
+        in_specs = [P(), P(axis, None)]
+        if has_scales:
+            in_specs.append(P(axis))
+        if clustered:
+            in_specs.append(P(axis, None))
+
+        def program(q, s, *rest):
+            scales = rest[0] if has_scales else None
+            cent = rest[-1] if clustered else None
+            return local_search(q, s, scales, cent)
+
         return jax.shard_map(
-            (lambda q, s, sc: local_search(q, s, sc))
-            if has_scales
-            else (lambda q, s: local_search(q, s)),
+            program,
             mesh=self.mesh,
             in_specs=tuple(in_specs),
             out_specs=(P(), P()),
@@ -374,9 +480,21 @@ class ShardedIndex:
 
     def index_args(self) -> tuple:
         """Device arrays to pass after the queries (matches shard_search)."""
+        args = (self._vectors,)
         if self._scales is not None:
-            return (self._vectors, self._scales)
-        return (self._vectors,)
+            args += (self._scales,)
+        if self._centroids is not None:
+            args += (self._centroids,)
+        return args
+
+    def map_positions(self, idx: np.ndarray) -> np.ndarray:
+        """Merged engine positions -> ORIGINAL row positions (identity
+        unless clustered, whose storage is cell-reordered)."""
+        if self._perm is None:
+            return idx
+        idx = np.asarray(idx)
+        safe = np.clip(idx, 0, len(self._perm) - 1)
+        return np.where(idx >= 0, self._perm[safe], -1).astype(idx.dtype)
 
     def search(self, query_emb: np.ndarray, k: int = 10):
         if self._vectors is None:
@@ -391,4 +509,4 @@ class ShardedIndex:
         if k not in self._search_fns:
             self._search_fns[k] = jax.jit(self.shard_search(k))
         vals, idx = self._search_fns[k](jnp.asarray(q), *self.index_args())
-        return np.asarray(vals), np.asarray(idx)
+        return np.asarray(vals), self.map_positions(np.asarray(idx))

@@ -45,9 +45,15 @@ def clustered_topk(
     rows_per_cell: int,
     row_scales: jnp.ndarray | None = None,  # [P] f32 when corpus is int8
     valid_n: int | None = None,
+    index_offset: jnp.ndarray | int = 0,
 ):
     """(scores [B, k] f32, indices [B, k] int32 in reordered space);
-    (-inf, -1) sentinels, FAISS convention."""
+    (-inf, -1) sentinels, FAISS convention.
+
+    ``index_offset`` (static or traced — e.g. ``axis_index * local_rows``
+    inside a shard_map) shifts local row positions into the GLOBAL reordered
+    space: returned indices are global, and ``valid_n`` masks against the
+    global position, so shard-tail padding cells resolve to (-inf, -1)."""
     B, D = queries.shape
     n_cells = centroids.shape[0]
     rpc = rows_per_cell
@@ -101,6 +107,7 @@ def clustered_topk(
     gidx = (
         probe[:, :, None] * rpc + jnp.arange(rpc, dtype=jnp.int32)[None, None, :]
     ).reshape(B, nprobe * rpc)
+    gidx = gidx + jnp.asarray(index_offset, jnp.int32)
     scores = jnp.where(gidx < valid_n, scores, _NEG_INF)
 
     k_eff = min(k, nprobe * rpc)

@@ -41,19 +41,44 @@ class FusedSearcher:
     def ntotal(self) -> int:
         return self.builder.ntotal
 
-    def _topk_fn(self, k: int):
+    def _engine(self, padded_n: int) -> str:
+        """Pick the device engine for a padded batch size. Clustered indexes
+        serve small batches through the cell-probe engine (the latency win
+        clustering exists for) and fall back to the approx sweep over their
+        reordered rows at large B, where the probe union approaches the
+        corpus anyway."""
+        if self.builder.index_type != "clustered":
+            return self.builder.index_type
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+        return "clustered" if padded_n <= CLUSTER_MAX_BATCH else "approx"
+
+    def _topk_fn(self, k: int, engine: str):
         """Device-side (q, *index_args) -> (vals, idx) for composition
         inside the fused jit."""
         builder = self.builder
+        if engine == "clustered":
+            from sskd_tpu.ops.topk_cluster import clustered_topk
+
+            def topk_clustered(q, corpus, *rest):
+                # rest is (scales, centroids) for int8 or (centroids,)
+                scales, cent = (rest if len(rest) == 2 else (None, rest[0]))
+                return clustered_topk(
+                    q,
+                    corpus,
+                    cent,
+                    k=k,
+                    nprobe=builder.nprobe,
+                    rows_per_cell=builder._rows_per_cell,
+                    row_scales=scales,
+                    valid_n=builder.ntotal,
+                )
+
+            return topk_clustered
         # cosine_topk (not _core): exact-mode serving then dispatches to the
         # binned Pallas engine on TPU — the gate reads only static shape/
         # dtype/backend facts, so it composes inside the fused jit
         from sskd_tpu.ops.topk import cosine_topk
-
-        # clustered indexes serve the micro-batched (large-B) path with the
-        # approx sweep over their reordered rows; positions are mapped back
-        # to original order in search_texts
-        method = "approx" if builder.index_type == "clustered" else builder.index_type
 
         def topk(q, corpus, scales=None):
             return cosine_topk(
@@ -63,16 +88,19 @@ class FusedSearcher:
                 block_rows=builder.block_rows,
                 row_scales=scales,
                 valid_n=builder.ntotal,
-                method=method,
+                method=engine,
                 recall_target=builder.recall_target,
             )
 
         return topk
 
-    def _index_args(self) -> tuple:
+    def _index_args(self, engine: str) -> tuple:
+        args = (self.builder._device_vectors,)
         if self.builder._device_scales is not None:
-            return (self.builder._device_vectors, self.builder._device_scales)
-        return (self.builder._device_vectors,)
+            args += (self.builder._device_scales,)
+        if engine == "clustered":
+            args += (self.builder._device_centroids,)
+        return args
 
     def _map_positions(self, idx: np.ndarray) -> np.ndarray:
         """Engine positions -> original row positions (identity unless the
@@ -81,13 +109,13 @@ class FusedSearcher:
 
     # -- shared frame ------------------------------------------------------
 
-    def _fused_fn(self, length: int, k: int):
-        key = (length, k)
+    def _fused_fn(self, length: int, k: int, engine: str):
+        key = (length, k, engine)
         if key not in self._jit_cache:
             import jax
 
             module = self.student.module
-            topk = self._topk_fn(k)
+            topk = self._topk_fn(k, engine)
 
             @jax.jit
             def fused(params, ids, mask, *index_args):
@@ -112,12 +140,13 @@ class FusedSearcher:
         batch = self.student.tokenize_batch(
             [self.student.query_prefix + t for t in texts]
         )
-        fn = self._fused_fn(batch["input_ids"].shape[1], k_eff)
+        engine = self._engine(padded_n)
+        fn = self._fused_fn(batch["input_ids"].shape[1], k_eff, engine)
         vals, idx = fn(
             self.student.params,
             batch["input_ids"],
             batch["attention_mask"],
-            *self._index_args(),
+            *self._index_args(engine),
         )
         idx = self._map_positions(np.asarray(idx))
         return np.asarray(vals)[:n, :k], idx[:n, :k]
@@ -145,13 +174,14 @@ class ShardedFusedSearcher(FusedSearcher):
     def ntotal(self) -> int:
         return self.sharded.ntotal
 
-    def _topk_fn(self, k: int):
+    def _engine(self, padded_n: int) -> str:
+        return "sharded"
+
+    def _topk_fn(self, k: int, engine: str):
         return self.sharded.shard_search(k)
 
-    def _index_args(self) -> tuple:
+    def _index_args(self, engine: str) -> tuple:
         return self.sharded.index_args()
 
     def _map_positions(self, idx: np.ndarray) -> np.ndarray:
-        # sharded stores reject clustered layouts (sharded.py from_builder),
-        # so shard-merged positions are already original row positions
-        return idx
+        return self.sharded.map_positions(idx)

@@ -203,15 +203,68 @@ class TestClusteredBuilder:
         vals, idx = b.search(x[:4], k=3)
         assert [ids[i] for i in idx[:, 0]] == [f"d{i}" for i in range(4)]
 
-    def test_sharding_clustered_rejected(self, tmp_path):
-        b, x, ids = self._build(tmp_path)
-        from sskd_tpu.exceptions import IndexBuildError
+    def test_sharded_clustered_self_retrieval(self, tmp_path):
+        """Cells sharded over ICI: each shard probes its local top cells,
+        the all-gather merge returns ORIGINAL row positions."""
         from sskd_tpu.index.sharded import ShardedIndex
         from sskd_tpu.parallel.mesh import create_mesh
 
+        b, x, ids = self._build(tmp_path)
         mesh = create_mesh(data_parallel=1, index_parallel=2)
-        with pytest.raises(IndexBuildError):
-            ShardedIndex.from_builder(b, mesh)
+        sharded = ShardedIndex.from_builder(b, mesh)
+        vals, idx = sharded.search(x[:8], k=3)
+        assert [ids[i] for i in idx[:, 0]] == [f"d{i}" for i in range(8)]
+
+    def test_sharded_clustered_recall_ge_single_device(self, tmp_path):
+        """Every shard probes nprobe cells, so the probe union covers more
+        cells than the single-device engine: recall must not drop."""
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        b, x, ids = self._build(tmp_path)
+        q = x[100:140]
+        gt = np.argsort(-(q @ x.T), axis=1)[:, :10]
+        mesh = create_mesh(data_parallel=1, index_parallel=4)
+        sharded = ShardedIndex.from_builder(b, mesh)
+        _, si = sharded.search(q, k=10)
+        _, bi = b.search(q, k=10)
+
+        def recall(pred):
+            return np.mean(
+                [len(set(pred[i]) & set(gt[i])) / 10 for i in range(len(q))]
+            )
+
+        assert recall(si) >= recall(bi) - 1e-9
+
+    def test_sharded_clustered_save_load(self, tmp_path):
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        b, x, ids = self._build(tmp_path)
+        mesh = create_mesh(data_parallel=1, index_parallel=2)
+        sharded = ShardedIndex.from_builder(b, mesh)
+        out = tmp_path / "sharded_cidx"
+        sharded.save(out)
+        # reload onto a DIFFERENT shard count (mesh-shape agnostic layout)
+        mesh4 = create_mesh(data_parallel=1, index_parallel=4)
+        s2 = ShardedIndex(mesh4).load(out)
+        assert s2._perm is not None and s2.nprobe == 4
+        v1, i1 = sharded.search(x[:6], k=5)
+        v2, i2 = s2.search(x[:6], k=5)
+        # both probe unions cover the data; top-1 self-retrieval agrees
+        np.testing.assert_array_equal(i1[:, 0], i2[:, 0])
+
+    def test_sharded_clustered_large_batch_sweep(self, tmp_path):
+        from sskd_tpu.index.sharded import ShardedIndex
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+        from sskd_tpu.parallel.mesh import create_mesh
+
+        b, x, ids = self._build(tmp_path)
+        mesh = create_mesh(data_parallel=1, index_parallel=2)
+        sharded = ShardedIndex.from_builder(b, mesh)
+        q = x[: CLUSTER_MAX_BATCH + 4]
+        _, idx = sharded.search(q, k=3)
+        assert [ids[i] for i in idx[:8, 0]] == [f"d{i}" for i in range(8)]
 
 
 class TestClusteredServing:
@@ -228,3 +281,60 @@ class TestClusteredServing:
         assert mapped.shape == (1, 3)
         assert mapped[0, 2] == -1
         assert 0 <= mapped[0, 0] < 1200
+
+    @pytest.fixture(scope="class")
+    def fused_setup(self):
+        from sskd_tpu.models import BertConfig, StudentModel
+        from sskd_tpu.serve.fused import FusedSearcher
+        from sskd_tpu.tokenization import WordPieceTokenizer
+
+        docs = [f"document about topic {i} with words {i}" for i in range(600)]
+        tok = WordPieceTokenizer.build_from_corpus(
+            docs[:50] + ["query find topic"], vocab_size=512
+        )
+        student = StudentModel(
+            "tiny-clustered",
+            config=BertConfig.tiny(vocab_size=tok.vocab_size),
+            tokenizer=tok,
+        )
+        b = IndexBuilder(
+            embedding_dim=student.embedding_dim,
+            index_type="clustered",
+            dtype="int8",
+            cluster_rows=256,
+            nprobe=3,  # == n_cells for 600 rows: probe path is exhaustive
+        )
+        emb = student.encode_documents(docs)
+        b.build_from_arrays(emb, [f"d{i}" for i in range(len(docs))])
+        return student, b, FusedSearcher(student, b)
+
+    def test_engine_selection_by_batch(self, fused_setup):
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+        _, _, fused = fused_setup
+        assert fused._engine(16) == "clustered"
+        assert fused._engine(CLUSTER_MAX_BATCH) == "clustered"
+        assert fused._engine(CLUSTER_MAX_BATCH * 2) == "approx"
+
+    def test_fused_clustered_matches_unfused(self, fused_setup):
+        """Small-batch fused dispatch composes the cell-probe engine and
+        returns the same original-position hits as builder.search."""
+        student, b, fused = fused_setup
+        queries = ["find topic 3", "find topic 17"]
+        fv, fi = fused.search_texts(queries, k=5)  # padded_n=16 -> clustered
+        q_emb = student.encode_queries(queries)
+        uv, ui = b.search(q_emb, k=5)
+        np.testing.assert_array_equal(fi, ui)
+        np.testing.assert_allclose(fv, uv, atol=1e-4)
+        # jit cache keyed by engine
+        assert any(key[2] == "clustered" for key in fused._jit_cache)
+
+    def test_fused_large_batch_falls_back(self, fused_setup):
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+        student, b, fused = fused_setup
+        queries = [f"find topic {i}" for i in range(CLUSTER_MAX_BATCH + 1)]
+        fv, fi = fused.search_texts(queries, k=5)
+        assert fi.shape == (len(queries), 5)
+        assert (fi < 600).all()
+        assert any(key[2] == "approx" for key in fused._jit_cache)
