@@ -33,6 +33,10 @@ Environment knobs:
   SSKD_BENCH_K        top-k                (default 10)
   SSKD_BENCH_ITERS    slope iterations     (default 8)
   SSKD_BENCH_10M      also run the 10M-row scale point (default: 1 on TPU)
+  SSKD_BENCH_CLUSTERED  also run the clustered small-batch latency point
+                      (default: 1 on TPU) — measured on a realistic
+                      low-intrinsic-dim corpus, since cell pruning's recall
+                      is meaningless on uniform noise (adr-009)
 """
 
 from __future__ import annotations
@@ -254,6 +258,109 @@ def main() -> None:
         }
         del c8_10, scales_10
 
+    # ---- clustered (cell-probe) small-batch latency point (adr-009) ----
+    # The sub-ms p50 story: one query must not pay the full HBM sweep.
+    # Uniform noise has no cluster structure (pruning recall would be
+    # meaningless — adversarial for ANY inverted-file method), so this
+    # point uses a realistic low-intrinsic-dim corpus and reports recall
+    # alongside latency.
+    clustered = None
+    want_cl = os.environ.get(
+        "SSKD_BENCH_CLUSTERED", "1" if backend == "tpu" else "0"
+    ) == "1"
+    if want_cl:
+        from sskd_tpu.ops.cluster import auto_cells, build_clusters
+        from sskd_tpu.ops.topk_cluster import clustered_topk
+
+        rows_c = min(rows, 1_000_000)
+        intrinsic = 32
+        a_map = rng.standard_normal((intrinsic, dim)).astype(np.float32)
+        a_map /= np.sqrt(intrinsic)
+        topic = rng.standard_normal((1000, intrinsic)).astype(np.float32)
+        xs = []
+        for i in range(0, rows_c, 250_000):
+            n = min(250_000, rows_c - i)
+            z = topic[rng.integers(0, 1000, n)] + 0.3 * rng.standard_normal(
+                (n, intrinsic)
+            ).astype(np.float32)
+            xc = z @ a_map + 0.02 * rng.standard_normal((n, dim)).astype(
+                np.float32
+            )
+            xc /= np.maximum(np.linalg.norm(xc, axis=1, keepdims=True), 1e-12)
+            xs.append(xc.astype(np.float32))
+        xc = np.concatenate(xs)
+        del xs
+        t0 = time.perf_counter()
+        n_cells, rpc = auto_cells(rows_c)
+        perm, cent = build_clusters(xc, n_cells, rpc)
+        build_s = time.perf_counter() - t0
+        from sskd_tpu.ops.quant import quantize_rows as _qr
+
+        vq, sq = _qr(jnp.asarray(xc[perm]))
+        padc = n_cells * rpc - rows_c
+        if padc:
+            vq = jnp.pad(vq, ((0, padc), (0, 0)))
+            sq = jnp.pad(sq, (0, padc), constant_values=1.0)
+        vq = jax.block_until_ready(vq)
+        cent_j = jnp.asarray(cent)
+        nprobe = 32
+
+        zq = topic[rng.integers(0, 1000, n_val)] + 0.3 * rng.standard_normal(
+            (n_val, intrinsic)
+        ).astype(np.float32)
+        qc = zq @ a_map + 0.02 * rng.standard_normal((n_val, dim)).astype(
+            np.float32
+        )
+        qc /= np.linalg.norm(qc, axis=1, keepdims=True)
+        qc_j = jnp.asarray(qc.astype(np.float32))
+
+        # slope_ms drives the batch-sized q0; B=1 latency is the point
+        # here, so time it directly over many iterations
+        q1 = qc_j[:1]
+
+        def cl_fn(q):
+            return clustered_topk(
+                q, vq, cent_j, k=k, nprobe=nprobe, rows_per_cell=rpc,
+                row_scales=sq, valid_n=rows_c,
+            )
+
+        r = jax.block_until_ready(cl_fn(q1))
+        t0 = time.perf_counter()
+        for _ in range(50):
+            r = cl_fn(q1)
+        jax.block_until_ready(r)
+        ms_b1 = (time.perf_counter() - t0) / 50 * 1000.0
+
+        # recall vs exact over the same int8 rows (original order)
+        vq0, sq0 = _qr(jnp.asarray(xc))
+        _, gt_c = cosine_topk_core(
+            qc_j, vq0, k=k, row_scales=sq0, valid_n=rows_c, method="exact"
+        )
+        del vq0, sq0
+        _, ic = clustered_topk(
+            qc_j, vq, cent_j, k=k, nprobe=nprobe, rows_per_cell=rpc,
+            row_scales=sq, valid_n=rows_c,
+        )
+        ic = np.asarray(ic)
+        mapped = np.where(ic >= 0, perm[np.clip(ic, 0, rows_c - 1)], -1)
+        gt_c = np.asarray(gt_c)
+        rec_c = float(
+            np.mean(
+                [len(set(mapped[i]) & set(gt_c[i])) / k for i in range(n_val)]
+            )
+        )
+        clustered = {
+            "rows": rows_c,
+            "corpus": "low-intrinsic-dim(32) topical",
+            "n_cells": n_cells,
+            "rows_per_cell": rpc,
+            "nprobe": nprobe,
+            "build_cluster_s": round(build_s, 1),
+            "ms_per_query_b1": round(ms_b1, 4),
+            "recall_at_k_vs_exact_int8": round(rec_c, 4),
+        }
+        del vq, sq, cent_j
+
     qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
     result = {
         "metric": "index_search_qps_chip",
@@ -279,6 +386,7 @@ def main() -> None:
             else 0.0,
             "exact_engine_recall_at_k_vs_exact_f32": round(exact_recall, 4),
             "scale_10m": scale_10m,
+            "clustered_b1": clustered,
         },
     }
     print(json.dumps(result))
