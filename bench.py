@@ -303,7 +303,7 @@ def main() -> None:
             sq = jnp.pad(sq, (0, padc), constant_values=1.0)
         vq = jax.block_until_ready(vq)
         cent_j = jnp.asarray(cent)
-        nprobe = 32
+        nprobe = 64
 
         zq = topic[rng.integers(0, 1000, n_val)] + 0.3 * rng.standard_normal(
             (n_val, intrinsic)

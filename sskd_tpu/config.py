@@ -126,7 +126,7 @@ class IndexConfig(BaseModel):
     block_rows: int = Field(default=262144, ge=128)
     default_k: int = Field(default=10, ge=1)
     cluster_rows: int = Field(default=0, ge=0)  # 0 = auto (~sqrt N)
-    nprobe: int = Field(default=32, ge=1)
+    nprobe: int = Field(default=64, ge=1)
     validation_queries: int = Field(default=1000, ge=1)
     validation_recall_at_10: float = Field(default=0.97, ge=0.0, le=1.0)
 

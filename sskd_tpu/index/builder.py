@@ -60,7 +60,7 @@ class IndexBuilder:
         block_rows: int = 262144,
         recall_target: float = 0.99,
         cluster_rows: int = 0,
-        nprobe: int = 32,
+        nprobe: int = 64,
     ):
         """``index_type``: "exact" (blocked full top-k, recall 1.0),
         "approx" (fused binned top-k — the TPU-native analog of the

@@ -97,7 +97,7 @@ class ShardedIndex:
         self._centroids = None  # device array sharded on cells
         self._rows_per_cell = 0
         self._n_cells = 0
-        self.nprobe = 32
+        self.nprobe = 64
 
     # ------------------------------------------------------------------
     # Placement

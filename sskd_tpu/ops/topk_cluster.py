@@ -2,7 +2,7 @@
 
 Search = centroid scoring (one tiny [B, n_cells] matmul) → per-query
 ``nprobe`` cells → sweep only those cells' rows. With the default
-sqrt(N)-sized cells and nprobe=32, a 10M-row query touches ~1% of the
+sqrt(N)-sized cells and nprobe=64, a 10M-row query touches ~2% of the
 corpus — the FLOP/HBM reduction the reference reached for with IVF-PQ
 (reference: docs/operations/scaling-and-performance.md:115-152), but with
 static shapes (equal cells, see :mod:`sskd_tpu.ops.cluster`) and no
