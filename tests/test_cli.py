@@ -110,6 +110,35 @@ def test_index_build_validate_eval(workspace, capsys):
     assert "ndcg@10" in metrics
 
 
+def test_index_build_clustered_method(workspace):
+    """--method clustered builds a cell-probe index end-to-end through the
+    CLI, persists the permutation layout, and passes validate."""
+    out_dir = workspace / "run"
+    idx_dir = workspace / "cidx"
+    rc = main(
+        [
+            "index",
+            "build",
+            "--model",
+            str(out_dir / "best_model"),
+            "--data",
+            str(workspace / "data" / "chunks" / "demo" / "train.parquet"),
+            "--out",
+            str(idx_dir),
+            "--method",
+            "clustered",
+        ]
+    )
+    assert rc == 0
+    assert (idx_dir / "perm.npy").exists()
+    assert (idx_dir / "centroids.npy").exists()
+    rc = main(
+        ["index", "validate", "--dir", str(idx_dir), "--queries", "20",
+         "--k", "5", "--min-recall", "0.8"]
+    )
+    assert rc == 0
+
+
 def test_export_command(workspace):
     out_dir = workspace / "run"
     rc = main(
