@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--k", type=int, default=10)
     pv.add_argument("--min-recall", type=float, default=None,
                     help="default: index.validation_recall_at_10 setting")
+    pv.add_argument("--nprobe", type=int, default=None,
+                    help="clustered indexes: override the saved nprobe for "
+                    "this validation (a query-time knob — no rebuild needed; "
+                    "serve honors SEMANTIC_KD_INDEX__NPROBE the same way)")
     _add_platform_arg(pv)
 
     p = sub.add_parser("eval", help="retrieval evaluation of a model over raw JSONL")
@@ -385,6 +389,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.index_command == "validate":
             builder = IndexBuilder().load(args.dir)
+            if args.nprobe is not None:
+                builder.nprobe = args.nprobe
             n_queries = args.queries or settings.index.validation_queries
             min_recall = (
                 args.min_recall

@@ -237,6 +237,12 @@ def create_app(
                 state.teacher = None
         if preload_index_dir:
             state.index_builder = IndexBuilder().load(preload_index_dir)
+            # nprobe is a query-time knob (the cell layout doesn't depend on
+            # it): an explicit SEMANTIC_KD_INDEX__NPROBE / YAML setting
+            # overrides the value saved in the index meta, so operators can
+            # raise recall without a rebuild (guides/index-modes.md)
+            if "nprobe" in settings.index.model_fields_set:
+                state.index_builder.nprobe = settings.index.nprobe
             state.maybe_shard_index(settings)
             state.make_fused()
             m.INDEX_SIZE.set(state.index_builder.ntotal)
@@ -577,6 +583,8 @@ def create_app(
         builder = IndexBuilder()
         with span(SPAN_LOAD_INDEX, dir=str(index_dir)):
             builder.load(index_dir)
+        if "nprobe" in settings.index.model_fields_set:
+            builder.nprobe = settings.index.nprobe  # query-time override
         state.index_builder = builder
         state.maybe_shard_index(settings)
         state.make_fused()

@@ -267,6 +267,40 @@ class TestClusteredBuilder:
         assert [ids[i] for i in idx[:8, 0]] == [f"d{i}" for i in range(8)]
 
 
+class TestNprobeOverride:
+    def test_cli_validate_nprobe_override(self, tmp_path):
+        """nprobe is a query-time knob: validate can re-gate a saved index
+        at a different nprobe without a rebuild."""
+        x = _mixture(1200, 32, 6, 0.15)
+        b = IndexBuilder(
+            embedding_dim=32, index_type="clustered", cluster_rows=256, nprobe=1
+        )
+        b.build_from_arrays(x, [f"d{i}" for i in range(1200)])
+        out = tmp_path / "cidx"
+        b.save(out)
+
+        from sskd_tpu.cli.main import main
+
+        # full probing must pass a high bar even where nprobe=1 may not
+        rc = main(
+            ["index", "validate", "--dir", str(out), "--queries", "32",
+             "--k", "10", "--min-recall", "0.95", "--nprobe", "5"]
+        )
+        assert rc == 0
+        b2 = IndexBuilder().load(out)
+        assert b2.nprobe == 1  # the saved meta is untouched
+
+    def test_settings_nprobe_overrides_preload(self, tmp_path, monkeypatch):
+        """An explicitly-set index.nprobe setting wins over the index meta
+        at serve time (SEMANTIC_KD_INDEX__NPROBE without rebuild)."""
+        from sskd_tpu.config import Settings
+
+        explicit = Settings.model_validate({"index": {"nprobe": 3}})
+        assert "nprobe" in explicit.index.model_fields_set
+        default = Settings()
+        assert "nprobe" not in default.index.model_fields_set
+
+
 class TestClusteredServing:
     def test_fused_search_maps_positions(self, tmp_path):
         """The fused serving path (approx sweep over reordered rows) must
