@@ -50,6 +50,12 @@ def auto_cells(n_rows: int, target_rows_per_cell: int = 0) -> tuple[int, int]:
     return n_cells, rpc
 
 
+# direction estimation runs on a bounded subsample: the split only needs a
+# statistically stable separation axis (the ORDERING over all rows still
+# uses every row), and full-node means/gathers dominated 10M-row builds
+_DIRECTION_SAMPLE = 65536
+
+
 def _split_direction(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """One 2-means-style step: the direction between the means of a random
     halving, refined once by the induced partition. Cheap and good enough
@@ -124,7 +130,13 @@ def build_clusters(
             bisect(out_idx[:left_quota], cell_lo, mid)
             bisect(out_idx[left_quota:], mid, cell_hi)
             return
-        d = _split_direction(x[indices], rng)
+        # direction from a bounded subsample (the ordering below still uses
+        # every row); one gathered copy per node, not two
+        if len(indices) > _DIRECTION_SAMPLE:
+            sub_idx = rng.choice(indices, _DIRECTION_SAMPLE, replace=False)
+            d = _split_direction(x[sub_idx], rng)
+        else:
+            d = _split_direction(x[indices], rng)
         order = np.argsort(x[indices] @ d, kind="stable")
         ordered = indices[order]
         bisect(ordered[:left_quota], cell_lo, mid)
