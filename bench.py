@@ -65,7 +65,11 @@ def main() -> None:
 
     from sskd_tpu.ops.quant import quantize_rows
     from sskd_tpu.ops.topk import cosine_topk_core
-    from sskd_tpu.ops.topk_pallas import cosine_topk_pallas
+    from sskd_tpu.ops.topk_pallas import (
+        cosine_topk_pallas,
+        cosine_topk_pallas_impl,  # unjitted: composes in the slope loop
+        # without the nested-jit closed_call corpus copy
+    )
 
     backend = jax.default_backend()
     rng = np.random.default_rng(0)
@@ -100,29 +104,34 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     q0 = jnp.asarray(queries)
 
-    def slope_ms(search_fn, *args) -> float:
-        """ms per sweep via data-dependent on-device loop + readback."""
+    def slope_ms(search_fn, *args, q=None) -> float:
+        """ms per sweep via data-dependent on-device loop + readback.
+        The chained loop defeats BOTH tunnel lies: dispatch returning
+        before execution, and repeated identical computations being served
+        from a cache (measured: a fixed-input timing loop reported 0.024 ms
+        for a kernel whose true cost is 2.3 ms)."""
+        q_arr = q0 if q is None else q
 
         def make(n):
             @jax.jit
-            def chained(q0, *a):
+            def chained(q_arr, *a):
                 def body(i, carry):
                     q, acc = carry
                     vals, idx = search_fn(q, *a)
                     q = q + (vals[:, :1] + idx[:, :1].astype(jnp.float32)) * 1e-12
                     return (q, acc + vals[0, 0])
 
-                return jax.lax.fori_loop(0, n, body, (q0, jnp.float32(0)))
+                return jax.lax.fori_loop(0, n, body, (q_arr, jnp.float32(0)))
 
             return chained
 
         times = {}
         for n in (1, iters):
             fn = make(n)
-            out = fn(q0, *args)
+            out = fn(q_arr, *args)
             float(out[1])  # compile + settle
             t0 = time.perf_counter()
-            out = fn(q0, *args)
+            out = fn(q_arr, *args)
             float(out[1])  # readback forces completion
             times[n] = time.perf_counter() - t0
         return max(0.0, (times[iters] - times[1]) / (iters - 1) * 1000.0)
@@ -138,7 +147,7 @@ def main() -> None:
     # exact recall-1.0 engine (Pallas fused on TPU, XLA scan elsewhere)
     if backend == "tpu":
         exact_ms = slope_ms(
-            lambda q, c, s: cosine_topk_pallas(
+            lambda q, c, s: cosine_topk_pallas_impl(
                 q, c, k=k, row_scales=s
             ),
             c8,
@@ -270,7 +279,7 @@ def main() -> None:
     ) == "1"
     if want_cl:
         from sskd_tpu.ops.cluster import auto_cells, build_clusters
-        from sskd_tpu.ops.topk_cluster import clustered_topk
+        from sskd_tpu.ops.topk_cluster import clustered_topk, clustered_topk_impl
 
         rows_c = min(rows, 1_000_000)
         intrinsic = 32
@@ -314,22 +323,19 @@ def main() -> None:
         qc /= np.linalg.norm(qc, axis=1, keepdims=True)
         qc_j = jnp.asarray(qc.astype(np.float32))
 
-        # slope_ms drives the batch-sized q0; B=1 latency is the point
-        # here, so time it directly over many iterations
+        # B=1 latency via the same chained slope method (a naive
+        # fixed-input loop lies through the tunnel — see slope_ms)
         q1 = qc_j[:1]
-
-        def cl_fn(q):
-            return clustered_topk(
-                q, vq, cent_j, k=k, nprobe=nprobe, rows_per_cell=rpc,
-                row_scales=sq, valid_n=rows_c,
-            )
-
-        r = jax.block_until_ready(cl_fn(q1))
-        t0 = time.perf_counter()
-        for _ in range(50):
-            r = cl_fn(q1)
-        jax.block_until_ready(r)
-        ms_b1 = (time.perf_counter() - t0) / 50 * 1000.0
+        ms_b1 = slope_ms(
+            lambda q, c, s, ce: clustered_topk_impl(
+                q, c, ce, k=k, nprobe=nprobe, rows_per_cell=rpc,
+                row_scales=s, valid_n=rows_c,
+            ),
+            vq,
+            sq,
+            cent_j,
+            q=q1,
+        )
 
         # recall vs exact over the same int8 rows (original order)
         vq0, sq0 = _qr(jnp.asarray(xc))

@@ -51,7 +51,7 @@ def main() -> None:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def binmax(q):
+    def binmax(q, c8p, scp):
         q_absmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-9)
         q_scale = (q_absmax / 127.0).astype(jnp.float32)
         q_in = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
@@ -75,59 +75,68 @@ def main() -> None:
             ),
         )(valid_arr, q_in, c8p, scp)
 
-    def slope(fn, seed_out, label):
-        """One-dispatch loop: iteration i perturbs q by prev result."""
+    def slope(fn, operands, label):
+        """One-dispatch loop: iteration i perturbs q by prev result.
+        Large arrays MUST be passed via ``operands`` (jit arguments) — a
+        closed-over corpus becomes a compile-payload constant and the
+        remote-compile tunnel rejects it with HTTP 413."""
 
         def make(iters):
-            def body(i, carry):
-                q, acc = carry
-                out = fn(q + acc * 1e-6)
-                s = jnp.sum(jnp.asarray(out[0], jnp.float32)) if isinstance(out, tuple) else jnp.sum(out)
-                return (q, jnp.full((B, 1), s * 1e-20, jnp.float32) + acc * 0)
-
             @jax.jit
-            def run(q):
-                _, acc = jax.lax.fori_loop(0, iters, body, (q, jnp.zeros((B, 1), jnp.float32)))
+            def run(q, *ops):
+                def body(i, carry):
+                    q_, acc = carry
+                    out = fn(q_ + acc * 1e-6, *ops)
+                    s = (
+                        jnp.sum(jnp.asarray(out[0], jnp.float32))
+                        if isinstance(out, tuple)
+                        else jnp.sum(out)
+                    )
+                    return (q_, jnp.full((B, 1), s * 1e-20, jnp.float32) + acc * 0)
+
+                _, acc = jax.lax.fori_loop(
+                    0, iters, body, (q, jnp.zeros((B, 1), jnp.float32))
+                )
                 return acc
 
             return run
 
         r1, rN = make(1), make(ITERS)
-        jax.block_until_ready(r1(q0))
-        jax.block_until_ready(rN(q0))
-        t0 = time.perf_counter(); jax.block_until_ready(r1(q0)); t1 = time.perf_counter()
-        t2 = time.perf_counter(); jax.block_until_ready(rN(q0)); t3 = time.perf_counter()
+        jax.block_until_ready(r1(q0, *operands))
+        jax.block_until_ready(rN(q0, *operands))
+        t0 = time.perf_counter(); jax.block_until_ready(r1(q0, *operands)); t1 = time.perf_counter()
+        t2 = time.perf_counter(); jax.block_until_ready(rN(q0, *operands)); t3 = time.perf_counter()
         ms = ((t3 - t2) - (t1 - t0)) / (ITERS - 1) * 1000
         print(f"{label:34s} {ms:8.3f} ms", flush=True)
         return ms
 
     # phase A alone
-    slope(binmax, None, "phase A (binmax sweep)")
+    slope(lambda q, c, sc: binmax(q, c, sc), (c8p, scp), "phase A (binmax sweep)")
 
     # extraction alone (on a fixed binmax output)
-    bm = jax.block_until_ready(binmax(q0))
+    bm = jax.block_until_ready(binmax(q0, c8p, scp))
 
-    def extract(q):
+    def extract(q, bm_in):
         # data-dep: shift binmax by a hair of q
-        x = bm + jnp.sum(q) * 1e-20
+        x = bm_in + jnp.sum(q) * 1e-20
         return tp._small_topk(x.T, K)
 
-    slope(extract, None, "extraction (top-k bins)")
+    slope(extract, (bm,), "extraction (top-k bins)")
 
     # full kernel
-    def full(q):
-        return tp.cosine_topk_pallas(q, c8p, K, row_scales=scp.reshape(-1), valid_n=N)
+    def full(q, c, sc):
+        return tp.cosine_topk_pallas(q, c, K, row_scales=sc.reshape(-1), valid_n=N)
 
-    ms_full = slope(full, None, "full exact kernel")
+    ms_full = slope(full, (c8p, scp), "full exact kernel")
 
     # approx engine for reference
     from sskd_tpu.ops.topk import cosine_topk_core
 
-    def approx(q):
-        return cosine_topk_core(q, c8p, scp.reshape(-1), k=K, method="approx", valid_n=N)
+    def approx(q, c, sc):
+        return cosine_topk_core(q, c, k=K, row_scales=sc.reshape(-1), method="approx", valid_n=N)
 
     try:
-        slope(approx, None, "approx engine")
+        slope(approx, (c8p, scp), "approx engine")
     except Exception as e:
         print("approx failed:", e)
 

@@ -424,10 +424,12 @@ class ShardedIndex:
             my = jax.lax.axis_index(axis)
             offset = my * rows_per_shard
             if clustered and queries.shape[0] <= _cluster_max_batch():
-                from sskd_tpu.ops.topk_cluster import clustered_topk
+                # unjitted impl: inside shard_map a nested jit would copy
+                # the shard at the closed_call boundary
+                from sskd_tpu.ops.topk_cluster import clustered_topk_impl
 
                 local_cells = shard.shape[0] // rpc
-                vals, idx = clustered_topk(
+                vals, idx = clustered_topk_impl(
                     queries,
                     shard,
                     shard_cent,

@@ -312,7 +312,11 @@ def cosine_topk(
     method: str = "exact",
     recall_target: float = 0.99,
 ):
-    """Single-device entry point; see :func:`cosine_topk_core`.
+    """Single-device TOP-LEVEL entry point (jitted); see
+    :func:`cosine_topk_core`. When composing inside another jit use
+    :func:`cosine_topk_compose` — a nested jit becomes an XLA closed_call
+    whose big operands are COPIED at the boundary (measured ~4.7 ms/call
+    at 10M int8).
 
     The ``exact`` method dispatches to the binned Pallas engine on TPU
     (exact results, no per-block extraction — ops/topk_pallas.py) for
@@ -325,6 +329,38 @@ def cosine_topk(
         )
     return _cosine_topk_jit(
         queries, corpus, k, block_rows, row_scales, valid_n, method, recall_target
+    )
+
+
+def cosine_topk_compose(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    block_rows: int = 262144,
+    row_scales: jnp.ndarray | None = None,
+    valid_n: int | None = None,
+    method: str = "exact",
+    recall_target: float = 0.99,
+):
+    """Same dispatch as :func:`cosine_topk` but fully UNJITTED — for
+    composition inside an enclosing jit (the fused serving dispatch, the
+    shard_map program, benchmark loops). The Pallas-exact gate reads only
+    static shape/dtype/backend facts, so it traces cleanly."""
+    if method == "exact" and _pallas_exact_ok(corpus, k):
+        from sskd_tpu.ops.topk_pallas import cosine_topk_pallas_impl
+
+        return cosine_topk_pallas_impl(
+            queries, corpus, k, row_scales=row_scales, valid_n=valid_n
+        )
+    return cosine_topk_core(
+        queries,
+        corpus,
+        k,
+        block_rows=block_rows,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        method=method,
+        recall_target=recall_target,
     )
 
 

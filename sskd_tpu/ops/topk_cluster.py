@@ -27,16 +27,53 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min / 2)
 
 CLUSTER_MAX_BATCH = 64  # above this, the full sweep is the better engine
+
+# cells DMA'd per phase-B-style grid step (fewer, fatter steps amortize
+# the per-program overhead, exactly like topk_pallas.GATHER_FANIN); halved
+# until the step's cell slabs fit the VMEM budget
+CELL_FANIN = 8
+_CELL_VMEM_BUDGET = 80 * 1024 * 1024  # under the 100 MB scoped-vmem limit
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "rows_per_cell", "valid_n")
 )
 def clustered_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    centroids: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    rows_per_cell: int,
+    row_scales: jnp.ndarray | None = None,
+    valid_n: int | None = None,
+    index_offset: jnp.ndarray | int = 0,
+):
+    """TOP-LEVEL entry (jitted). When composing inside another jit (fused
+    serving, shard_map, benchmark loops) call :func:`clustered_topk_impl`
+    — a nested jit becomes an XLA closed_call whose big operands are
+    COPIED at the boundary (measured: ~4.7 ms per call for a 10M int8
+    corpus — 40x the engine's actual cost)."""
+    return clustered_topk_impl(
+        queries,
+        corpus,
+        centroids,
+        k,
+        nprobe,
+        rows_per_cell,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        index_offset=index_offset,
+    )
+
+
+def clustered_topk_impl(
     queries: jnp.ndarray,  # [B, D] f32 (L2-normalized by the caller)
     corpus: jnp.ndarray,  # [P, D] f32/bf16/int8, cell-contiguous rows
     centroids: jnp.ndarray,  # [n_cells, D] f32, L2-normalized
@@ -48,7 +85,7 @@ def clustered_topk(
     index_offset: jnp.ndarray | int = 0,
 ):
     """(scores [B, k] f32, indices [B, k] int32 in reordered space);
-    (-inf, -1) sentinels, FAISS convention.
+    (-inf, -1) sentinels, FAISS convention. Unjitted body.
 
     ``index_offset`` (static or traced — e.g. ``axis_index * local_rows``
     inside a shard_map) shifts local row positions into the GLOBAL reordered
@@ -75,6 +112,91 @@ def clustered_topk(
         q_scale = None
         q_mat = q.astype(corpus.dtype)
 
+    # ---- per-cell scoring: Pallas streaming gather on TPU (scalar-
+    # prefetched cell ids index the corpus BlockSpec — cells are DMA'd
+    # straight into VMEM, never materialized as a [B, nprobe, rpc, D]
+    # tensor the way an XLA gather does; measured 1.5 ms -> ~0.1 ms at
+    # B=1/1M for the whole engine), XLA map elsewhere --------------------
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and corpus.shape[0] % rpc == 0
+        and D % 128 == 0
+        and rpc % (32 if is_int8 else 8) == 0
+    )
+    scores = None
+    if use_pallas:
+        if B == 1:
+            scores = _cell_scores_pallas_b1(
+                q_mat if is_int8 else q.astype(corpus.dtype),
+                q_scale,
+                probe,
+                corpus,
+                row_scales,
+                rpc,
+                nprobe,
+            )
+        else:
+            scores = _cell_scores_pallas(
+                q, q_mat, q_scale, probe, corpus, row_scales, rpc, nprobe
+            )  # [B, nprobe, rpc] f32 (scaled), or None if no legal tiling
+        if scores is not None:
+            scores = scores.reshape(B, nprobe * rpc)
+    if scores is None:
+        scores = _cell_scores_xla(
+            q_mat, q_scale, probe, corpus, row_scales, n_cells, rpc, nprobe, is_int8
+        )
+
+    # ---- mask tail padding + duplicate probes, extract global top-k -----
+    gidx = (
+        probe[:, :, None] * rpc + jnp.arange(rpc, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, nprobe * rpc)
+    gidx = gidx + jnp.asarray(index_offset, jnp.int32)
+    scores = jnp.where(gidx < valid_n, scores, _NEG_INF)
+
+    k_eff = min(k, nprobe * rpc)
+    vals, pos = _flat_topk(scores, k_eff)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    idx = jnp.where(vals > _NEG_INF / 2, idx, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.concatenate(
+            [vals, jnp.full((B, pad), _NEG_INF, jnp.float32)], axis=1
+        )
+        idx = jnp.concatenate([idx, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+    return vals, idx
+
+
+def _flat_topk(scores: jnp.ndarray, k: int):
+    """Exact top-k over wide rows via two-level bin-max extraction (the
+    exact-kernel trick at extraction scale): per-128 bin maxima -> top-k
+    BINS -> rescan only those bins. k iterated passes over the full
+    [B, nprobe*rpc] row measured ~1 ms at B=1/65k cols; this runs the
+    passes over [B, n/128] maxima and a [B, k*128] rescan instead."""
+    from sskd_tpu.ops.topk_pallas import _small_topk
+
+    B, n = scores.shape
+    bin_w = 128
+    if n <= 4096 or n % bin_w != 0 or k > 32:
+        return _small_topk(scores, k)
+    nb = n // bin_w
+    s3 = scores.reshape(B, nb, bin_w)
+    bmax = jnp.max(s3, axis=2)  # [B, nb]
+    kb = min(k, nb)
+    _, bins = _small_topk(bmax, kb)  # [B, kb]
+    cand = jnp.take_along_axis(s3, bins[:, :, None], axis=1)  # [B, kb, 128]
+    vals, pos = _small_topk(cand.reshape(B, kb * bin_w), min(k, kb * bin_w))
+    bsel = jnp.take_along_axis(bins, pos // bin_w, axis=1)
+    idx = bsel * bin_w + pos % bin_w
+    return vals, idx
+
+
+def _cell_scores_xla(
+    q_mat, q_scale, probe, corpus, row_scales, n_cells, rpc, nprobe, is_int8
+):
+    """XLA reference path: per-query gather + matvec under lax.map (bounds
+    live memory to one query's [nprobe, rpc, D])."""
+    B = q_mat.shape[0]
+    D = q_mat.shape[1]
     cells = corpus[: n_cells * rpc].reshape(n_cells, rpc, D)
     scales3 = (
         row_scales[: n_cells * rpc].reshape(n_cells, rpc)
@@ -82,9 +204,6 @@ def clustered_topk(
         else None
     )
 
-    # ---- per-query cell sweep (lax.map: bounds live memory to one query's
-    # gather, [nprobe, rpc, D] — the XLA reference path; the Pallas gather
-    # kernel below streams cells without materializing them) --------------
     def one_query(args):
         qv, pv = args  # [D], [nprobe]
         rows = cells[pv]  # [nprobe, rpc, D] gather
@@ -102,22 +221,256 @@ def clustered_topk(
     scores = jax.lax.map(one_query, (q_mat, probe))  # [B, nprobe*rpc]
     if is_int8:
         scores = scores * q_scale
+    return scores
 
-    # ---- mask tail padding + duplicate probes, extract global top-k -----
-    gidx = (
-        probe[:, :, None] * rpc + jnp.arange(rpc, dtype=jnp.int32)[None, None, :]
-    ).reshape(B, nprobe * rpc)
-    gidx = gidx + jnp.asarray(index_offset, jnp.int32)
-    scores = jnp.where(gidx < valid_n, scores, _NEG_INF)
 
-    k_eff = min(k, nprobe * rpc)
-    vals, pos = jax.lax.top_k(scores, k_eff)
-    idx = jnp.take_along_axis(gidx, pos, axis=1)
-    idx = jnp.where(vals > _NEG_INF / 2, idx, -1)
-    if k_eff < k:
-        pad = k - k_eff
-        vals = jnp.concatenate(
-            [vals, jnp.full((B, pad), _NEG_INF, jnp.float32)], axis=1
+def _cell_gather_kernel(
+    probe_ref,  # scalar-prefetch [B, np_pad] int32 cell ids
+    q_ref,  # [B, D] f32 (int8 path: quantized values cast to f32 — exact,
+    #         see topk_pallas._gather_kernel)
+    qscale_ref,  # [B, 1] f32
+    *refs,  # J x cell_refs [rpc, D], then J x scale_refs [rpc, 1] | none,
+    #         then out_ref [1, J, rpc]
+    has_scales: bool,
+    is_int8: bool,
+    J: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    refs = list(refs)
+    rows_refs = refs[:J]
+    scale_refs = refs[J : 2 * J] if has_scales else [None] * J
+    out_ref = refs[-1]
+
+    q_row = q_ref[pl.ds(b, 1), :]  # [1, D]
+    parts = []
+    for jj in range(J):
+        rows = rows_refs[jj][:]
+        if is_int8:
+            rows = rows.astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_row,
+            rows,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, rpc]
+        if is_int8:
+            scores = scores * qscale_ref[pl.ds(b, 1), :] * scale_refs[jj][:].T
+        elif scale_refs[jj] is not None:
+            scores = scores * scale_refs[jj][:].T
+        parts.append(scores)
+    out_ref[0] = jnp.concatenate(parts, axis=0)  # [J, rpc]
+
+
+_B1_QREP = 8  # the query is replicated to 8 rows: Mosaic's dot lowering
+# rejects preferred int32 with an N=1 output, and an [rpc, 8] result tile
+# is MXU-shaped anyway; the caller reads every 8th output column
+
+
+def _cell_gather_kernel_b1(
+    probe_ref,  # scalar-prefetch [1, np_pad]
+    q_ref,  # [QREP, D] — SAME dtype as the corpus (int8 dot runs on the
+    #         MXU natively; the general kernel's per-slab f32 casts
+    #         measured as the dominant cost)
+    *refs,  # J x cell_refs [rpc, D], then J x scale_refs [rpc, 1] | none,
+    #         then out_ref [1, J*rpc, QREP]
+    has_scales: bool,
+    is_int8: bool,
+    J: int,
+    rpc: int,
+):
+    refs = list(refs)
+    rows_refs = refs[:J]
+    scale_refs = refs[J : 2 * J] if has_scales else [None] * J
+    out_ref = refs[-1]
+    for jj in range(J):
+        s = jax.lax.dot_general(
+            rows_refs[jj][:],
+            q_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if is_int8 else jnp.float32,
+        ).astype(jnp.float32)  # [rpc, QREP] (all columns identical)
+        if scale_refs[jj] is not None:
+            s = s * scale_refs[jj][:]
+        # stack parts along SUBLANES (static slice store): a lane-axis
+        # concatenate of 8-lane pieces forces cross-lane shuffles of every
+        # element — measured as the kernel's dominant cost
+        out_ref[0, jj * rpc : (jj + 1) * rpc, :] = s
+
+
+def _cell_scores_pallas_b1(q_dev, q_scale, probe, corpus, row_scales, rpc, nprobe):
+    """B=1 fast path: grid (n_j,), both dot operands stay in the corpus
+    dtype (int8 x int8 -> int32 on the MXU), per-query scale applied to the
+    [np, rpc] scores outside. Returns [1, nprobe, rpc] f32."""
+    D = corpus.shape[1]
+    is_int8 = corpus.dtype == jnp.int8
+    itemsize = 1 if is_int8 else corpus.dtype.itemsize
+
+    if nprobe < 8:
+        J = nprobe
+    else:
+        J = max(8, min(CELL_FANIN, nprobe) // 8 * 8)
+        if J * rpc * D * 2 * itemsize + J * rpc * 4 > _CELL_VMEM_BUDGET:
+            return None
+    n_j = -(-nprobe // J)
+    np_pad = n_j * J
+    if np_pad != nprobe:
+        probe = jnp.concatenate(
+            [probe, jnp.repeat(probe[:, -1:], np_pad - nprobe, axis=1)], axis=1
         )
-        idx = jnp.concatenate([idx, jnp.full((B, pad), -1, jnp.int32)], axis=1)
-    return vals, idx
+
+    def _cell_spec(jj):
+        return pl.BlockSpec(
+            (rpc, D),
+            functools.partial(lambda j, bins, _jj: (bins[0, j * J + _jj], 0), _jj=jj),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _scale_spec(jj):
+        return pl.BlockSpec(
+            (rpc, 1),
+            functools.partial(lambda j, bins, _jj: (bins[0, j * J + _jj], 0), _jj=jj),
+            memory_space=pltpu.VMEM,
+        )
+
+    has_scales = row_scales is not None
+    QR = _B1_QREP
+    q_rep = jnp.broadcast_to(q_dev, (QR, D))
+    in_specs = [
+        pl.BlockSpec((QR, D), lambda j, bins: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [q_rep]
+    in_specs += [_cell_spec(jj) for jj in range(J)]
+    operands += [corpus] * J
+    if has_scales:
+        in_specs += [_scale_spec(jj) for jj in range(J)]
+        operands += [row_scales.astype(jnp.float32).reshape(-1, 1)] * J
+
+    kernel = functools.partial(
+        _cell_gather_kernel_b1, has_scales=has_scales, is_int8=is_int8, J=J,
+        rpc=rpc,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_j,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, J * rpc, QR), lambda j, bins: (j, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_j, J * rpc, QR), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_pad * rpc * D * QR,
+            bytes_accessed=np_pad * rpc * D * itemsize,
+            transcendentals=0,
+        ),
+    )(probe.astype(jnp.int32), *operands)
+    # [n_j, J*rpc, QR] -> column 0 (replicated-query dot) -> [np_pad, rpc];
+    # part jj of step j sits at sublanes [jj*rpc, (jj+1)*rpc), so slot
+    # j*J+jj holds probe[0, j*J+jj]'s cell, matching the caller's gidx
+    out = out.reshape(n_j, J, rpc, QR)[..., 0]
+    scores = out.reshape(np_pad, rpc)[None, :nprobe, :]
+    if q_scale is not None:
+        scores = scores * q_scale[0, 0]
+    return scores
+
+
+def _cell_scores_pallas(q, q_mat, q_scale, probe, corpus, row_scales, rpc, nprobe):
+    """Scores for every probed cell via a streaming Pallas gather:
+    grid (B, nprobe/J); each step DMAs J cells (BlockSpecs indexed by the
+    scalar-prefetched cell ids) and emits its own [J, rpc] score slab.
+    Returns [B, np_pad, rpc] f32 — the caller masks the padded slots via
+    the (duplicated) probe ids' positions, which the tail-mask handles."""
+    B, D = q.shape
+    is_int8 = corpus.dtype == jnp.int8
+    itemsize = 1 if is_int8 else corpus.dtype.itemsize
+
+    # Mosaic requires the out block's second-to-last dim (J) to be a
+    # multiple of 8 or the full array dim, so J is either >= 8 or == np_pad
+    # (nprobe < 8). VMEM per step: J cell slabs double-buffered + the
+    # in-kernel f32 casts of all J slabs + the out slab.
+    if nprobe < 8:
+        J = nprobe
+    else:
+        J = max(8, min(CELL_FANIN, nprobe) // 8 * 8)
+        if J * rpc * D * (2 * itemsize + 4) > _CELL_VMEM_BUDGET:
+            return None  # no legal tiling fits — caller uses the XLA path
+    n_j = -(-nprobe // J)
+    np_pad = n_j * J
+    if np_pad != nprobe:
+        # pad with repeats of the LAST probed cell: duplicates can only
+        # produce duplicate candidates, which top-k dedups by position
+        probe = jnp.concatenate(
+            [probe, jnp.repeat(probe[:, -1:], np_pad - nprobe, axis=1)], axis=1
+        )
+
+    def _cell_spec(jj):
+        return pl.BlockSpec(
+            (rpc, D),
+            functools.partial(
+                lambda b, j, bins, _jj: (bins[b, j * J + _jj], 0), _jj=jj
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _scale_spec(jj):
+        return pl.BlockSpec(
+            (rpc, 1),
+            functools.partial(
+                lambda b, j, bins, _jj: (bins[b, j * J + _jj], 0), _jj=jj
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    has_scales = row_scales is not None
+    in_specs = [
+        pl.BlockSpec((B, D), lambda b, j, bins: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 1), lambda b, j, bins: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        q_mat.astype(jnp.float32) if is_int8 else q.astype(jnp.float32),
+        q_scale if is_int8 else jnp.ones((B, 1), jnp.float32),
+    ]
+    in_specs += [_cell_spec(jj) for jj in range(J)]
+    operands += [corpus] * J
+    scales_col = None
+    if has_scales:
+        scales_col = row_scales.astype(jnp.float32).reshape(-1, 1)
+        in_specs += [_scale_spec(jj) for jj in range(J)]
+        operands += [scales_col] * J
+
+    kernel = functools.partial(
+        _cell_gather_kernel, has_scales=has_scales, is_int8=is_int8, J=J
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_j),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, J, rpc), lambda b, j, bins: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, np_pad, rpc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * np_pad * rpc * D,
+            bytes_accessed=B * np_pad * rpc * D * itemsize,
+            transcendentals=0,
+        ),
+    )(probe.astype(jnp.int32), *operands)
+    # slice away the padded duplicate slots (cheap; keeps the public
+    # contract at exactly [B, nprobe * rpc])
+    return out[:, :nprobe, :]

@@ -188,7 +188,13 @@ def cosine_topk_pallas(
 ):
     """Exact fused top-k. Same contract as
     :func:`sskd_tpu.ops.topk.cosine_topk`: returns (scores [B, k] f32,
-    indices [B, k] int32) with (-inf, -1) sentinels."""
+    indices [B, k] int32) with (-inf, -1) sentinels.
+
+    TOP-LEVEL entry (jitted here). When composing inside another jit, call
+    :func:`cosine_topk_pallas_impl` instead — a nested jit becomes an XLA
+    closed_call whose big operands get COPIED at the boundary (~4.7 ms per
+    call for a 10M int8 corpus, measured; the copy silently dominated the
+    engine until the call tree was flattened)."""
     if k > K_MAX:
         raise ValueError(f"k={k} exceeds kernel capacity {K_MAX}")
     if interpret is None:
@@ -204,10 +210,57 @@ def cosine_topk_pallas(
     )
 
 
+def cosine_topk_pallas_impl(
+    queries,
+    corpus,
+    k: int,
+    block_rows: int = BLOCK_ROWS,
+    row_scales=None,
+    valid_n: int | None = None,
+    interpret: bool | None = None,
+):
+    """Unjitted body for composition inside an enclosing jit (fused
+    serving, shard_map programs, benchmark loops)."""
+    if k > K_MAX:
+        raise ValueError(f"k={k} exceeds kernel capacity {K_MAX}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_body(
+        queries,
+        corpus,
+        row_scales,
+        k=k,
+        block_rows=block_rows,
+        valid_n=valid_n,
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block_rows", "valid_n", "interpret")
 )
 def _cosine_topk_pallas_jit(
+    queries,
+    corpus,
+    row_scales,
+    *,
+    k: int,
+    block_rows: int,
+    valid_n: int | None,
+    interpret: bool,
+):
+    return _pallas_body(
+        queries,
+        corpus,
+        row_scales,
+        k=k,
+        block_rows=block_rows,
+        valid_n=valid_n,
+        interpret=interpret,
+    )
+
+
+def _pallas_body(
     queries,
     corpus,
     row_scales,
