@@ -33,10 +33,11 @@ Environment knobs:
   SSKD_BENCH_K        top-k                (default 10)
   SSKD_BENCH_ITERS    slope iterations     (default 8)
   SSKD_BENCH_10M      also run the 10M-row scale point (default: 1 on TPU)
-  SSKD_BENCH_CLUSTERED  also run the clustered small-batch latency point
+  SSKD_BENCH_CLUSTERED  also run the clustered (IVF-analog) B=1 point
                       (default: 1 on TPU) — measured on a realistic
-                      low-intrinsic-dim corpus, since cell pruning's recall
-                      is meaningless on uniform noise (adr-009)
+                      low-intrinsic-dim corpus with a same-corpus sweep
+                      reference; the honest record is that the dense
+                      sweep wins (adr-009), and this keeps tracking it
 """
 
 from __future__ import annotations
@@ -267,12 +268,11 @@ def main() -> None:
         }
         del c8_10, scales_10
 
-    # ---- clustered (cell-probe) small-batch latency point (adr-009) ----
-    # The sub-ms p50 story: one query must not pay the full HBM sweep.
-    # Uniform noise has no cluster structure (pruning recall would be
-    # meaningless — adversarial for ANY inverted-file method), so this
-    # point uses a realistic low-intrinsic-dim corpus and reports recall
-    # alongside latency.
+    # ---- clustered (cell-probe / IVF analog) B=1 point (adr-009) -------
+    # Measured honestly the dense sweep beats cell pruning at every
+    # operating point on v5e; this point tracks both engines round over
+    # round on a realistic low-intrinsic-dim corpus (uniform noise has no
+    # cluster structure to prune) with recall alongside.
     clustered = None
     want_cl = os.environ.get(
         "SSKD_BENCH_CLUSTERED", "1" if backend == "tpu" else "0"
@@ -336,6 +336,16 @@ def main() -> None:
             cent_j,
             q=q1,
         )
+        # same-corpus same-process sweep reference for an honest ratio
+        ms_sweep_b1 = slope_ms(
+            lambda q, c, s: cosine_topk_core(
+                q, c, k=k, row_scales=s, valid_n=rows_c,
+                method="approx", recall_target=0.99,
+            ),
+            vq,
+            sq,
+            q=q1,
+        )
 
         # recall vs exact over the same int8 rows (original order)
         vq0, sq0 = _qr(jnp.asarray(xc))
@@ -363,6 +373,7 @@ def main() -> None:
             "nprobe": nprobe,
             "build_cluster_s": round(build_s, 1),
             "ms_per_query_b1": round(ms_b1, 4),
+            "sweep_ms_per_query_b1": round(ms_sweep_b1, 4),
             "recall_at_k_vs_exact_int8": round(rec_c, 4),
         }
         del vq, sq, cent_j

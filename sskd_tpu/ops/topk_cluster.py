@@ -10,10 +10,13 @@ product quantization: rows stay int8+scales, so in-cell scoring is
 identical to the exact engines and recall loss comes ONLY from cell
 pruning, which ``IndexBuilder.validate()`` gates.
 
-This mode is a *latency* engine: its win is small-batch p50 (the full
-sweep already amortizes perfectly at large B). The dispatcher falls back
-to the sweep engines above ``CLUSTER_MAX_BATCH`` where the probe union
-approaches the whole corpus anyway.
+This mode is CAPABILITY PARITY with the reference's IVF path, not the
+recommended engine: same-process A/B on v5e measured the dense approx
+sweep faster at every batch size and corpus scale (scattered cell
+gathers run far below HBM streaming bandwidth — adr-009 has the full
+table). The dispatcher falls back to the sweep engines above
+``CLUSTER_MAX_BATCH`` where the probe union approaches the whole corpus
+anyway.
 
 Shapes: corpus [P, D] row-reordered so cell ``i`` owns rows
 ``[i*rpc, (i+1)*rpc)``; P >= n_cells*rpc (tail padding masked via
@@ -115,8 +118,8 @@ def clustered_topk_impl(
     # ---- per-cell scoring: Pallas streaming gather on TPU (scalar-
     # prefetched cell ids index the corpus BlockSpec — cells are DMA'd
     # straight into VMEM, never materialized as a [B, nprobe, rpc, D]
-    # tensor the way an XLA gather does; measured 1.5 ms -> ~0.1 ms at
-    # B=1/1M for the whole engine), XLA map elsewhere --------------------
+    # tensor the way an XLA gather does; faster than the XLA map path,
+    # though still behind the dense sweep — adr-009), XLA map elsewhere --
     use_pallas = (
         jax.default_backend() == "tpu"
         and corpus.shape[0] % rpc == 0
