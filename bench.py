@@ -353,11 +353,19 @@ def main() -> None:
             qc_j, vq0, k=k, row_scales=sq0, valid_n=rows_c, method="exact"
         )
         del vq0, sq0
-        _, ic = clustered_topk(
-            qc_j, vq, cent_j, k=k, nprobe=nprobe, rows_per_cell=rpc,
-            row_scales=sq, valid_n=rows_c,
-        )
-        ic = np.asarray(ic)
+        # chunk below CLUSTER_MAX_BATCH: the recall check must exercise
+        # the same engine domain serving uses
+        from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
+
+        ic_parts = []
+        for i0 in range(0, n_val, CLUSTER_MAX_BATCH):
+            _, ic_p = clustered_topk(
+                qc_j[i0 : i0 + CLUSTER_MAX_BATCH], vq, cent_j, k=k,
+                nprobe=nprobe, rows_per_cell=rpc, row_scales=sq,
+                valid_n=rows_c,
+            )
+            ic_parts.append(np.asarray(ic_p))
+        ic = np.concatenate(ic_parts, axis=0)
         mapped = np.where(ic >= 0, perm[np.clip(ic, 0, rows_c - 1)], -1)
         gt_c = np.asarray(gt_c)
         rec_c = float(

@@ -125,6 +125,11 @@ def clustered_topk_impl(
         and corpus.shape[0] % rpc == 0
         and D % 128 == 0
         and rpc % (32 if is_int8 else 8) == 0
+        # the serving dispatcher never exceeds CLUSTER_MAX_BATCH for this
+        # mode; beyond it the gather kernel is untested territory (B=200
+        # reproducibly faulted the TPU worker) and the sweep is the better
+        # engine anyway — keep the pallas path inside the validated domain
+        and B <= CLUSTER_MAX_BATCH
     )
     scores = None
     if use_pallas:
