@@ -190,8 +190,11 @@ def _flat_topk(scores: jnp.ndarray, k: int):
     s3 = scores.reshape(B, nb, bin_w)
     bmax = jnp.max(s3, axis=2)  # [B, nb]
     kb = min(k, nb)
-    _, bins = _small_topk(bmax, kb)  # [B, kb]
+    bvals, bins = _small_topk(bmax, kb)  # [B, kb]
     cand = jnp.take_along_axis(s3, bins[:, :, None], axis=1)  # [B, kb, 128]
+    # dead slots (fewer live bins than kb) repeat bin 0 — without masking,
+    # its contents would surface as DUPLICATE results
+    cand = jnp.where(bvals[:, :, None] > _NEG_INF / 2, cand, _NEG_INF)
     vals, pos = _small_topk(cand.reshape(B, kb * bin_w), min(k, kb * bin_w))
     bsel = jnp.take_along_axis(bins, pos // bin_w, axis=1)
     idx = bsel * bin_w + pos % bin_w

@@ -267,6 +267,89 @@ class TestClusteredBuilder:
         assert [ids[i] for i in idx[:8, 0]] == [f"d{i}" for i in range(8)]
 
 
+class TestFlatTopk:
+    """_flat_topk (two-level binmax extraction) must be EXACTLY lax.top_k
+    on wide rows — it backs the clustered engine's candidate extraction."""
+
+    def test_matches_lax_topk_wide(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk_cluster import _flat_topk
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 8192)).astype(np.float32))
+        vals, idx = _flat_topk(x, 10)
+        ref_v, ref_i = jax.lax.top_k(x, 10)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v))
+        # positions must point at the same values (ties may reorder)
+        np.testing.assert_allclose(
+            np.take_along_axis(np.asarray(x), np.asarray(idx), axis=1),
+            np.asarray(ref_v),
+        )
+
+    def test_narrow_rows_fall_back(self):
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk_cluster import _flat_topk
+
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 300)),
+                        dtype=jnp.float32)
+        vals, idx = _flat_topk(x, 5)
+        assert vals.shape == (2, 5)
+
+    def test_with_neg_inf_sentinels(self):
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk_cluster import _NEG_INF, _flat_topk
+
+        x = np.full((1, 4096 + 128), _NEG_INF, np.float32)
+        x[0, 5] = 3.0
+        x[0, 4000] = 2.0
+        vals, idx = _flat_topk(jnp.asarray(x), 3)
+        assert np.asarray(idx)[0, 0] == 5
+        assert np.asarray(idx)[0, 1] == 4000
+        assert np.asarray(vals)[0, 2] <= _NEG_INF / 2
+
+
+class TestComposeParity:
+    """The unjitted compose/impl bodies must agree with the jitted public
+    entries (they exist to avoid nested-jit operand copies)."""
+
+    def test_cosine_topk_compose_matches(self):
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk import cosine_topk, cosine_topk_compose
+
+        rng = np.random.default_rng(2)
+        c = jnp.asarray(rng.standard_normal((2048, 64)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+        v1, i1 = cosine_topk(q, c, k=5, method="approx", valid_n=2000)
+        v2, i2 = cosine_topk_compose(q, c, k=5, method="approx", valid_n=2000)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    def test_clustered_impl_matches_public(self):
+        import jax.numpy as jnp
+
+        from sskd_tpu.ops.topk_cluster import clustered_topk, clustered_topk_impl
+
+        x = _mixture(1024, 32, 4, 0.15)
+        from sskd_tpu.ops.cluster import auto_cells, build_clusters
+
+        n_cells, rpc = auto_cells(1024, 256)
+        perm, cent = build_clusters(x, n_cells, rpc)
+        xr = jnp.asarray(x[perm])
+        pad = n_cells * rpc - 1024
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0)))
+        q = jnp.asarray(x[:4])
+        kw = dict(k=5, nprobe=2, rows_per_cell=rpc, valid_n=1024)
+        v1, i1 = clustered_topk(q, xr, jnp.asarray(cent), **kw)
+        v2, i2 = clustered_topk_impl(q, xr, jnp.asarray(cent), **kw)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 class TestNprobeOverride:
     def test_cli_validate_nprobe_override(self, tmp_path):
         """nprobe is a query-time knob: validate can re-gate a saved index
