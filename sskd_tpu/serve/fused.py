@@ -42,16 +42,24 @@ class FusedSearcher:
         return self.builder.ntotal
 
     def _engine(self, padded_n: int) -> str:
-        """Pick the device engine for a padded batch size. Clustered indexes
-        serve small batches through the cell-probe engine (the latency win
-        clustering exists for) and fall back to the approx sweep over their
-        reordered rows at large B, where the probe union approaches the
-        corpus anyway."""
+        """Pick the device engine for a padded batch size. Clustered
+        indexes serve through the approx sweep over their reordered rows
+        by DEFAULT — the measured-faster engine at every stable operating
+        point on v5e (adr-009). SSKD_SERVE_CELL_PROBE=1 opts small batches
+        into the cell-probe engine for deployments that measured otherwise
+        on their own hardware."""
         if self.builder.index_type != "clustered":
             return self.builder.index_type
+        import os
+
         from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
 
-        return "clustered" if padded_n <= CLUSTER_MAX_BATCH else "approx"
+        if (
+            os.environ.get("SSKD_SERVE_CELL_PROBE", "0") == "1"
+            and padded_n <= CLUSTER_MAX_BATCH
+        ):
+            return "clustered"
+        return "approx"
 
     def _topk_fn(self, k: int, engine: str):
         """Device-side (q, *index_args) -> (vals, idx) for composition

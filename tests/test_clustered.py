@@ -425,18 +425,26 @@ class TestClusteredServing:
         b.build_from_arrays(emb, [f"d{i}" for i in range(len(docs))])
         return student, b, FusedSearcher(student, b)
 
-    def test_engine_selection_by_batch(self, fused_setup):
+    def test_engine_selection_by_batch(self, fused_setup, monkeypatch):
         from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
 
         _, _, fused = fused_setup
+        # default: serving uses the measured-faster sweep (adr-009)
+        assert fused._engine(16) == "approx"
+        assert fused._engine(CLUSTER_MAX_BATCH * 2) == "approx"
+        # opt-in: cell probing for small padded batches
+        monkeypatch.setenv("SSKD_SERVE_CELL_PROBE", "1")
         assert fused._engine(16) == "clustered"
         assert fused._engine(CLUSTER_MAX_BATCH) == "clustered"
         assert fused._engine(CLUSTER_MAX_BATCH * 2) == "approx"
 
-    def test_fused_clustered_matches_unfused(self, fused_setup):
-        """Small-batch fused dispatch composes the cell-probe engine and
-        returns the same original-position hits as builder.search."""
+    def test_fused_clustered_matches_unfused(self, fused_setup, monkeypatch):
+        """Small-batch fused dispatch (cell probe opted in) composes the
+        cell-probe engine and returns the same original-position hits as
+        builder.search."""
+        monkeypatch.setenv("SSKD_SERVE_CELL_PROBE", "1")
         student, b, fused = fused_setup
+        fused._jit_cache.clear()
         queries = ["find topic 3", "find topic 17"]
         fv, fi = fused.search_texts(queries, k=5)  # padded_n=16 -> clustered
         q_emb = student.encode_queries(queries)
@@ -445,6 +453,18 @@ class TestClusteredServing:
         np.testing.assert_allclose(fv, uv, atol=1e-4)
         # jit cache keyed by engine
         assert any(key[2] == "clustered" for key in fused._jit_cache)
+
+    def test_fused_default_sweep_matches_positions(self, fused_setup):
+        """Default serving path (approx sweep over reordered rows) must
+        return identical hits mapped to original positions."""
+        student, b, fused = fused_setup
+        fused._jit_cache.clear()
+        queries = ["find topic 3", "find topic 17"]
+        fv, fi = fused.search_texts(queries, k=5)
+        q_emb = student.encode_queries(queries)
+        uv, ui = b.search(q_emb, k=5)
+        np.testing.assert_array_equal(fi, ui)
+        assert all(key[2] == "approx" for key in fused._jit_cache)
 
     def test_fused_large_batch_falls_back(self, fused_setup):
         from sskd_tpu.ops.topk_cluster import CLUSTER_MAX_BATCH
