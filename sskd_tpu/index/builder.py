@@ -312,10 +312,13 @@ class IndexBuilder:
             n = self._vectors.shape[0]
             padded = -(-n // BLOCK_ROWS) * BLOCK_ROWS if n >= BLOCK_ROWS else n
             if self._perm is not None:
-                # clustered storage must cover every full cell block
-                padded = max(
-                    padded, self._centroids.shape[0] * self._rows_per_cell
-                )
+                # clustered storage must cover every full cell block, AND
+                # stay a multiple of rows_per_cell — the Pallas cell-probe
+                # path requires P % rpc == 0 (it silently falls back to the
+                # slow XLA gather otherwise)
+                rpc = self._rows_per_cell
+                padded = max(padded, self._centroids.shape[0] * rpc)
+                padded = -(-padded // rpc) * rpc
             vec = self._vectors
             scales = self._scales
             if padded != n:
