@@ -120,16 +120,8 @@ def clustered_topk_impl(
     # straight into VMEM, never materialized as a [B, nprobe, rpc, D]
     # tensor the way an XLA gather does; faster than the XLA map path,
     # though still behind the dense sweep — adr-009), XLA map elsewhere --
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and corpus.shape[0] % rpc == 0
-        and D % 128 == 0
-        and rpc % (32 if is_int8 else 8) == 0
-        # the serving dispatcher never exceeds CLUSTER_MAX_BATCH for this
-        # mode; beyond it the gather kernel is untested territory (B=200
-        # reproducibly faulted the TPU worker) and the sweep is the better
-        # engine anyway — keep the pallas path inside the validated domain
-        and B <= CLUSTER_MAX_BATCH
+    use_pallas = _pallas_eligible(
+        jax.default_backend(), B, corpus.shape[0], D, rpc, is_int8
     )
     scores = None
     if use_pallas:
@@ -172,6 +164,24 @@ def clustered_topk_impl(
         )
         idx = jnp.concatenate([idx, jnp.full((B, pad), -1, jnp.int32)], axis=1)
     return vals, idx
+
+
+def _pallas_eligible(
+    backend: str, B: int, P: int, D: int, rpc: int, is_int8: bool
+) -> bool:
+    """Static gate for the Pallas cell-gather path. The B cap is a SAFETY
+    bound, not a tuning choice: the general gather kernel reproducibly
+    faulted the TPU worker at B=200 (the serving dispatcher never exceeds
+    CLUSTER_MAX_BATCH for this mode, so the cap costs nothing); beyond it
+    the XLA path serves. The divisibility conditions are Mosaic tiling
+    requirements."""
+    return (
+        backend == "tpu"
+        and P % rpc == 0
+        and D % 128 == 0
+        and rpc % (32 if is_int8 else 8) == 0
+        and B <= CLUSTER_MAX_BATCH
+    )
 
 
 def _flat_topk(scores: jnp.ndarray, k: int):

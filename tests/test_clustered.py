@@ -267,6 +267,37 @@ class TestClusteredBuilder:
         assert [ids[i] for i in idx[:8, 0]] == [f"d{i}" for i in range(8)]
 
 
+class TestPallasEligibility:
+    """The cell-gather kernel's dispatch gate — the B cap is a safety
+    bound (B=200 faulted the TPU worker; serving never sends >64)."""
+
+    def test_batch_cap(self):
+        from sskd_tpu.ops.topk_cluster import (
+            CLUSTER_MAX_BATCH,
+            _pallas_eligible,
+        )
+
+        ok = dict(backend="tpu", P=2048, D=384, rpc=256, is_int8=True)
+        assert _pallas_eligible(B=1, **ok)
+        assert _pallas_eligible(B=CLUSTER_MAX_BATCH, **ok)
+        assert not _pallas_eligible(B=CLUSTER_MAX_BATCH + 1, **ok)
+        assert not _pallas_eligible(B=200, **ok)
+
+    def test_tiling_requirements(self):
+        from sskd_tpu.ops.topk_cluster import _pallas_eligible
+
+        base = dict(backend="tpu", B=4, P=2048, D=384, rpc=256, is_int8=True)
+        assert _pallas_eligible(**base)
+        assert not _pallas_eligible(**{**base, "backend": "cpu"})
+        assert not _pallas_eligible(**{**base, "P": 2047})  # not cell-aligned
+        assert not _pallas_eligible(**{**base, "D": 100})  # lane tiling
+        # int8 needs 32-row sublane multiples; f32 only 8
+        assert not _pallas_eligible(**{**base, "P": 2400, "rpc": 24})
+        assert _pallas_eligible(
+            **{**base, "P": 2400, "rpc": 24, "is_int8": False}
+        )
+
+
 class TestFlatTopk:
     """_flat_topk (two-level binmax extraction) must be EXACTLY lax.top_k
     on wide rows — it backs the clustered engine's candidate extraction."""
