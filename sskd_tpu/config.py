@@ -120,7 +120,8 @@ class IndexConfig(BaseModel):
     metric: Literal["cosine", "dot"] = "cosine"
     dtype: Literal["float32", "bfloat16", "int8"] = "float32"
     # "clustered" = balanced cell-probe pruning, the IVF analog (reference:
-    # src/config.py FAISSConfig ivf params) — small-batch latency engine
+    # src/config.py FAISSConfig ivf params) — capability parity; the dense
+    # approx sweep measured faster at every stable operating point (adr-009)
     search_method: Literal["exact", "approx", "clustered"] = "approx"
     recall_target: float = Field(default=0.99, ge=0.5, le=1.0)
     block_rows: int = Field(default=262144, ge=128)
