@@ -105,15 +105,33 @@ class TeacherMiner:
         candidates_per_query: Sequence[Sequence[str]],
         corpus: Mapping[str, str],
     ) -> list[MinedNegatives]:
-        out = []
+        # ONE global cross-query score call: the reference issued a separate
+        # cross-encoder dispatch per query (reference: miners.py:100-137 —
+        # O(queries) tiny device round-trips); flattening all pairs lets the
+        # teacher fill full device batches regardless of per-query candidate
+        # counts. Per-query selection below is unchanged, so results are
+        # pinned equal to the per-query path (tests/test_bm25_mining.py).
+        kept_ids: list[list[str]] = []
+        all_pairs: list[tuple[str, str]] = []
         for query, cand_ids in zip(queries, candidates_per_query):
-            cand_ids = [c for c in cand_ids if c in corpus]
+            ids = [c for c in cand_ids if c in corpus]
+            kept_ids.append(ids)
+            all_pairs.extend((query, corpus[c]) for c in ids)
+        if not all_pairs:
+            return [MinedNegatives() for _ in kept_ids]
+        all_scores = np.asarray(
+            self.teacher.score(all_pairs, batch_size=self.batch_size)
+        )
+
+        out = []
+        offset = 0
+        for cand_ids in kept_ids:
             if not cand_ids:
                 out.append(MinedNegatives())
                 continue
-            pairs = [(query, corpus[c]) for c in cand_ids]
-            scores = self.teacher.score(pairs, batch_size=self.batch_size)
-            order = np.argsort(-np.asarray(scores))
+            scores = all_scores[offset : offset + len(cand_ids)]
+            offset += len(cand_ids)
+            order = np.argsort(-scores)
             ids, kept_scores = [], []
             for i in order:
                 if len(ids) >= self.top_k:
@@ -142,19 +160,41 @@ class ANCEMiner:
         candidates_per_query: Sequence[Sequence[str]],
         corpus: Mapping[str, str],
     ) -> list[MinedNegatives]:
-        out = []
-        for query, positives, cand_ids in zip(
-            queries, positives_per_query, candidates_per_query
-        ):
-            cand_ids = [c for c in cand_ids if c in corpus]
-            if not cand_ids or not positives:
-                out.append(MinedNegatives())
-                continue
-            q = self.student.encode_queries([query])
-            pos_emb = self.student.encode_documents(list(positives))
-            cand_emb = self.student.encode_documents([corpus[c] for c in cand_ids])
-            max_pos = float((q @ pos_emb.T).max())
-            cand_scores = (q @ cand_emb.T)[0]
+        # ONE encode call for all queries and ONE for all unique texts
+        # (positives + candidates): the reference encoded per query — three
+        # tiny device dispatches each (reference: miners.py:161-253); a
+        # global deduplicated batch fills the encoder and never re-encodes a
+        # text shared across queries. Selection math per query is unchanged.
+        live = [
+            (qi, [c for c in cand_ids if c in corpus])
+            for qi, cand_ids in enumerate(candidates_per_query)
+        ]
+        active = [
+            qi
+            for qi, ids in live
+            if ids and positives_per_query[qi]
+        ]
+        out = [MinedNegatives() for _ in queries]
+        if not active:
+            return out
+
+        uniq: dict[str, int] = {}
+        for qi in active:
+            for text in positives_per_query[qi]:
+                uniq.setdefault(text, len(uniq))
+            for cid in live[qi][1]:
+                uniq.setdefault(corpus[cid], len(uniq))
+        texts = list(uniq)
+        q_emb = self.student.encode_queries([queries[qi] for qi in active])
+        d_emb = self.student.encode_documents(texts)
+
+        for row, qi in enumerate(active):
+            q = q_emb[row : row + 1]
+            pos_rows = [uniq[t] for t in positives_per_query[qi]]
+            cand_ids = live[qi][1]
+            cand_rows = [uniq[corpus[c]] for c in cand_ids]
+            max_pos = float((q @ d_emb[pos_rows].T).max())
+            cand_scores = (q @ d_emb[cand_rows].T)[0]
             eligible = [
                 (float(s), c)
                 for s, c in zip(cand_scores, cand_ids)
@@ -162,11 +202,9 @@ class ANCEMiner:
             ]
             eligible.sort(key=lambda t: -t[0])
             picked = eligible[: self.top_k]
-            out.append(
-                MinedNegatives(
-                    doc_ids=[c for _, c in picked],
-                    scores=[s for s, _ in picked],
-                )
+            out[qi] = MinedNegatives(
+                doc_ids=[c for _, c in picked],
+                scores=[s for s, _ in picked],
             )
         return out
 

@@ -3,6 +3,7 @@ Okapi BM25 (k1=1.5, b=0.75, epsilon=0.25) for parity with the reference's
 rank_bm25 semantics (SURVEY.md 7.3); miners get the unit tests the reference
 never had (SURVEY.md 4.2: 'miners themselves untested!')."""
 
+import hashlib
 import math
 
 import numpy as np
@@ -190,3 +191,138 @@ class TestMiners:
             build_mining_curriculum(4, [], [], CORPUS, self._bm25())
         with pytest.raises(ValueError):
             build_mining_curriculum(2, ["q"], [[]], CORPUS, self._bm25())
+
+
+class PerTextTeacher:
+    """Deterministic per-PAIR scores (independent of batch composition) so
+    the batched miner can be pinned against the per-query reference path."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def score(self, pairs, batch_size=32):
+        self.calls += 1
+        out = []
+        for q, d in pairs:
+            h = int(hashlib.sha256(f"{q}|{d}".encode()).hexdigest()[:8], 16)
+            out.append(h / 2**32 * 10 - 5)
+        return out
+
+    @staticmethod
+    def get_confidence(s):
+        return 1 / (1 + math.exp(-s))
+
+
+class PerTextStudent:
+    """Deterministic per-TEXT embeddings (independent of batch composition)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def _emb(self, texts, salt):
+        self.calls += 1
+        out = []
+        for t in texts:
+            seed = int(hashlib.sha256((salt + t).encode()).hexdigest()[:8], 16)
+            v = np.random.default_rng(seed).standard_normal(8).astype(np.float32)
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out)
+
+    def encode_queries(self, texts, **kw):
+        return self._emb(texts, "q:")
+
+    def encode_documents(self, texts, **kw):
+        return self._emb(texts, "d:")
+
+
+class TestBatchedMinerParity:
+    """The r2 miners looped per query issuing one device dispatch each
+    (the reference's per-query sin, reference: src/mining/miners.py:100-137
+    reproduced at the mining layer); the batched rewrite must be
+    result-identical while collapsing to O(1) global dispatches."""
+
+    QUERIES = ["the cat", "dog yard", "python maths", "cats and dogs"]
+    CANDS = [
+        ["d0", "d1", "d3", "missing"],
+        ["d1", "d3", "d4"],
+        [],  # no candidates -> empty result slot preserved
+        ["d0", "d2", "d3", "d4"],
+    ]
+    POS = [["the cat sat on the mat"], [CORPUS["d1"]], ["py"], []]
+
+    def test_teacher_miner_matches_per_query_reference(self):
+        teacher = PerTextTeacher()
+        miner = TeacherMiner(teacher, top_k=3, confidence_threshold=0.5)
+        got = miner.mine(self.QUERIES, self.CANDS, CORPUS)
+        assert teacher.calls == 1  # ONE global cross-query dispatch
+
+        # per-query reference semantics (reference: miners.py:100-137)
+        ref_teacher = PerTextTeacher()
+        for res, query, cand_ids in zip(got, self.QUERIES, self.CANDS):
+            ids = [c for c in cand_ids if c in CORPUS]
+            if not ids:
+                assert res.doc_ids == [] and res.scores == []
+                continue
+            scores = ref_teacher.score([(query, CORPUS[c]) for c in ids])
+            order = np.argsort(-np.asarray(scores))
+            want_ids, want_scores = [], []
+            for i in order:
+                if len(want_ids) >= 3:
+                    break
+                if ref_teacher.get_confidence(scores[i]) >= 0.5:
+                    want_ids.append(ids[i])
+                    want_scores.append(float(scores[i]))
+            assert res.doc_ids == want_ids
+            np.testing.assert_allclose(res.scores, want_scores, rtol=1e-6)
+
+    def test_ance_miner_matches_per_query_reference(self):
+        student = PerTextStudent()
+        miner = ANCEMiner(student, margin=0.6, top_k=3)
+        got = miner.mine(self.QUERIES, self.POS, self.CANDS, CORPUS)
+        # ONE query encode + ONE deduplicated document encode
+        assert student.calls == 2
+
+        ref_student = PerTextStudent()
+        for res, query, positives, cand_ids in zip(
+            got, self.QUERIES, self.POS, self.CANDS
+        ):
+            ids = [c for c in cand_ids if c in CORPUS]
+            if not ids or not positives:
+                assert res.doc_ids == [] and res.scores == []
+                continue
+            q = ref_student.encode_queries([query])
+            pos_emb = ref_student.encode_documents(list(positives))
+            cand_emb = ref_student.encode_documents([CORPUS[c] for c in ids])
+            max_pos = float((q @ pos_emb.T).max())
+            cand_scores = (q @ cand_emb.T)[0]
+            eligible = [
+                (float(s), c)
+                for s, c in zip(cand_scores, ids)
+                if s >= max_pos - 0.6
+            ]
+            eligible.sort(key=lambda t: -t[0])
+            picked = eligible[:3]
+            assert res.doc_ids == [c for _, c in picked]
+            np.testing.assert_allclose(
+                res.scores, [s for s, _ in picked], rtol=1e-5
+            )
+
+    def test_ance_dedup_shares_texts_across_queries(self):
+        # two queries share candidate d1; the global batch encodes it once
+        student = PerTextStudent()
+        seen: list[int] = []
+        orig = student.encode_documents
+
+        def spy(texts, **kw):
+            seen.append(len(texts))
+            return orig(texts, **kw)
+
+        student.encode_documents = spy
+        ANCEMiner(student, margin=2.0, top_k=5).mine(
+            ["q1", "q2"],
+            [["p"], ["p"]],
+            [["d1", "d2"], ["d1", "d3"]],
+            CORPUS,
+        )
+        # unique texts: p, d1, d2, d3 -> 4 (not 1+2 + 1+2 = 6 per-query)
+        assert seen == [4]
