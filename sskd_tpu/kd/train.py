@@ -300,6 +300,8 @@ class KDTrainer:
                     )
             t0 = time.time()
             losses, components = [], {"margin_mse": [], "listwise_kd": [], "contrastive": []}
+            improved_mid_epoch = False
+            step_evals: list[dict] = []
             for batch in dataset.batches(
                 cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
             ):
@@ -335,10 +337,30 @@ class KDTrainer:
                     and cfg.eval_steps
                     and global_step % cfg.eval_steps == 0
                 ):
+                    # Step-granular dev eval feeds best-model selection and
+                    # early stopping (the same states the epoch path drives)
+                    # so a mid-epoch improvement is captured, not just
+                    # logged. The reference declared eval_steps but never
+                    # wired it (reference: config.py:96-97, SURVEY.md 7.4).
                     step_ndcg = self._dev_ndcg(dev_samples, params)
+                    step_evals.append(
+                        {"step": global_step, "dev_ndcg@10": float(step_ndcg)}
+                    )
                     logger.info(
                         f"step {global_step}: dev_ndcg@10={step_ndcg:.4f}"
                     )
+                    if (
+                        cfg.early_stopping_metric != "loss"
+                        and step_ndcg > best_metric
+                    ):
+                        best_metric = float(step_ndcg)
+                        improved_mid_epoch = True
+                        old_params = self.student.params
+                        self.student.params = params
+                        try:
+                            self.student.save(output_dir / "best_model")
+                        finally:
+                            self.student.params = old_params
 
             record = {
                 "epoch": epoch + 1,
@@ -353,6 +375,8 @@ class KDTrainer:
                 "seconds": time.time() - t0,
                 **{k: float(np.mean(v)) for k, v in components.items()},
             }
+            if step_evals:
+                record["step_evals"] = step_evals
 
             # early_stopping_metric selects the signal: "ndcg@10" uses the
             # dev set (when given), "loss" always watches train loss
@@ -406,6 +430,12 @@ class KDTrainer:
                 epochs_without_improvement = 0
                 self.student.params = params
                 self.student.save(output_dir / "best_model")
+            elif improved_mid_epoch:
+                # a step-granular eval already raised best_metric (and saved
+                # best_model) this epoch — the epoch improved, don't age the
+                # patience counter even though the END-of-epoch metric sits
+                # below the mid-epoch peak
+                epochs_without_improvement = 0
             else:
                 epochs_without_improvement += 1
                 if epochs_without_improvement >= cfg.early_stopping_patience:

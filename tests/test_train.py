@@ -121,6 +121,68 @@ class TestKDTrainer:
         assert "dev_ndcg@10" in result["history"][0]
         assert 0.0 <= result["history"][0]["dev_ndcg@10"] <= 1.0
 
+    def test_eval_steps_captures_mid_epoch_improvement(
+        self, student, tmp_path, monkeypatch
+    ):
+        """A step-granular dev eval whose peak lands MID-epoch must drive
+        best-model selection and early stopping, not just a log line
+        (the reference declared eval_steps but never wired it,
+        reference: config.py:96-97; SURVEY.md 7.4)."""
+        samples = _make_samples(16)  # 4 steps/epoch at batch 4
+        # scripted dev metric: step evals see a mid-epoch peak of 0.9 at the
+        # 2nd eval; the epoch-end eval sees only 0.3
+        scripted = iter([0.5, 0.9, 0.2, 0.1, 0.3])
+        monkeypatch.setattr(
+            KDTrainer,
+            "_dev_ndcg",
+            lambda self, dev, params: next(scripted, 0.05),
+        )
+        trainer = KDTrainer(
+            student,
+            self._settings(epochs=1, eval_steps=1, early_stopping_patience=1),
+        )
+        result = trainer.train(
+            samples,
+            dev_samples=samples[:4],
+            output_dir=tmp_path / "steps",
+            query_len=16,
+            doc_len=16,
+        )
+        # best metric is the mid-epoch 0.9 peak, not the epoch-end 0.3
+        assert result["best_metric"] == pytest.approx(0.9)
+        assert (tmp_path / "steps" / "best_model" / "params.msgpack").exists()
+        # the step evals are recorded in the history
+        evals = result["history"][0]["step_evals"]
+        assert [e["step"] for e in evals] == [1, 2, 3, 4]
+        assert evals[1]["dev_ndcg@10"] == pytest.approx(0.9)
+
+    def test_eval_steps_mid_epoch_improvement_resets_patience(
+        self, student, tmp_path, monkeypatch
+    ):
+        """patience=1: epoch 1 peaks mid-epoch (must NOT early-stop even
+        though the epoch-end value is lower than best), epoch 2 never
+        improves (stops). Training must run exactly 2 epochs."""
+        samples = _make_samples(8)  # 2 steps/epoch
+        scripted = iter([0.5, 0.9, 0.3, 0.1, 0.2, 0.15])
+        monkeypatch.setattr(
+            KDTrainer,
+            "_dev_ndcg",
+            lambda self, dev, params: next(scripted, 0.05),
+        )
+        trainer = KDTrainer(
+            student,
+            self._settings(epochs=5, eval_steps=1, early_stopping_patience=1),
+        )
+        result = trainer.train(
+            samples,
+            dev_samples=samples[:4],
+            output_dir=tmp_path / "patience",
+            query_len=16,
+            doc_len=16,
+        )
+        assert len(result["history"]) == 2
+        assert result["best_metric"] == pytest.approx(0.9)
+
     def test_resume_from_checkpoint(self, student, tmp_path):
         samples = _make_samples(8)
         out = tmp_path / "resume"
