@@ -401,7 +401,14 @@ class Server:
         )
         logger.info(f"serving on http://{self.host}:{self.port}")
         async with self._server:
-            await self._server.serve_forever()
+            try:
+                await self._server.serve_forever()
+            except asyncio.CancelledError:
+                # closing the listener during shutdown() cancels
+                # serve_forever; an INTENTIONAL drain must let serve()
+                # return cleanly rather than unwind the caller
+                if not self._closing:
+                    raise
 
     def run(self) -> None:
         try:
