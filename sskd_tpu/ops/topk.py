@@ -33,6 +33,18 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min / 2)
 MAX_UNROLL = 64
 
 
+def _block_needs_mask(lo: int, block_rows: int, valid_n, index_offset) -> bool:
+    """STATIC (trace-time) check: may the validity mask be skipped for the
+    corpus block [lo, lo+block_rows)? Skippable iff every row is provably
+    < valid_n. The -inf mask is a [B, block_rows] select XLA must weave into
+    the matmul epilogue — at the headline config (1M rows, one block, no
+    padding) dropping it is pure profit. Traced valid_n/index_offset (the
+    sharded path) conservatively keeps the mask."""
+    if not isinstance(valid_n, int) or not isinstance(index_offset, int):
+        return True
+    return lo + block_rows + index_offset > valid_n
+
+
 def _pad_rows(x: jnp.ndarray, multiple: int):
     n = x.shape[0]
     padded = (n + multiple - 1) // multiple * multiple
@@ -108,7 +120,7 @@ def cosine_topk_core(
         q_scale = q_absmax / 127.0
         q_int8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
 
-    def block_topk(block, scales_block, start):
+    def block_topk(block, scales_block, start, need_mask=True):
         """Fused matmul + top-k for one corpus block (static slice)."""
         if is_int8:
             raw = jax.lax.dot_general(
@@ -123,11 +135,12 @@ def cosine_topk_core(
             )
             if scales_block is not None:
                 scores = scores * scales_block[None, :]
-        global_idx = (
-            start + index_offset
-            + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-        )
-        scores = jnp.where(global_idx < valid_n, scores, _NEG_INF)
+        if need_mask:
+            global_idx = (
+                start + index_offset
+                + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+            )
+            scores = jnp.where(global_idx < valid_n, scores, _NEG_INF)
         vals, pos = jax.lax.top_k(scores, k_block)
         idx = start + index_offset + pos.astype(jnp.int32)
         return vals, idx
@@ -142,7 +155,10 @@ def cosine_topk_core(
                 if row_scales is not None
                 else None
             )
-            v, i = block_topk(block, scales_block, lo)
+            v, i = block_topk(
+                block, scales_block, lo,
+                need_mask=_block_needs_mask(lo, block_rows, valid_n, index_offset),
+            )
             parts_v.append(v)
             parts_i.append(i)
         cat_v = jnp.concatenate(parts_v, axis=1)
@@ -247,11 +263,12 @@ def _approx_topk(
                 row_scales, lo, lo + block_rows, axis=0
             )
             scores = scores * scales_block[None, :]
-        global_idx = (
-            lo + index_offset
-            + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-        )
-        scores = jnp.where(global_idx < valid_n, scores, _NEG_INF)
+        if _block_needs_mask(lo, block_rows, valid_n, index_offset):
+            global_idx = (
+                lo + index_offset
+                + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+            )
+            scores = jnp.where(global_idx < valid_n, scores, _NEG_INF)
         vals, pos = jax.lax.approx_max_k(scores, k_block, recall_target=recall_target)
         parts_v.append(vals)
         parts_i.append(lo + index_offset + pos.astype(jnp.int32))
