@@ -86,6 +86,11 @@ class TrainingConfig(BaseModel):
     early_stopping_metric: str = "ndcg@10"
     save_steps: int = Field(default=0, ge=0)
     eval_steps: int = Field(default=0, ge=0)
+    # rematerialize encoder activations in the train step (jax.checkpoint):
+    # at e5-small shapes (B=32 x N=8 docs x 192 tokens) storing every
+    # layer's activations for backward exceeds v5e HBM; remat trades ~1/3
+    # more FLOPs for O(sqrt(layers)) activation memory
+    remat: bool = True
     seed: int = 42
     output_dir: str = "artifacts/models/kd_student"
     resume: bool = True

@@ -85,6 +85,19 @@ class KDTrainer:
         loss_cfg = self.loss_cfg
         tx = self._tx
 
+        def encode(p, ids, mask, rng):
+            return module.apply(
+                p, ids, mask, deterministic=False, rngs={"dropout": rng}
+            )
+
+        if self.cfg.remat:
+            # rematerialize encoder activations: the doc tower holds
+            # B*N sequences — storing every layer's activations for
+            # backward exceeds HBM at e5 shapes (measured OOM on v5e at
+            # B=32, N=8, L=192); jax.checkpoint recomputes them in the
+            # backward pass instead
+            encode = jax.checkpoint(encode)
+
         def step_fn(params, opt_state, batch, progress, rng):
             # Dropout is ACTIVE during training (deterministic=False) with a
             # per-step rng — the reference trained with dropout 0.1 via torch
@@ -93,20 +106,15 @@ class KDTrainer:
             q_rng, d_rng = jax.random.split(rng)
 
             def loss_fn(p):
-                q_emb = module.apply(
-                    p,
-                    batch["query_ids"],
-                    batch["query_mask"],
-                    deterministic=False,
-                    rngs={"dropout": q_rng},
+                q_emb = encode(
+                    p, batch["query_ids"], batch["query_mask"], q_rng
                 )
                 B, N, L = batch["doc_ids"].shape
-                d_emb = module.apply(
+                d_emb = encode(
                     p,
                     batch["doc_ids"].reshape(B * N, L),
                     batch["doc_mask"].reshape(B * N, L),
-                    deterministic=False,
-                    rngs={"dropout": d_rng},
+                    d_rng,
                 ).reshape(B, N, -1)
                 scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
                 temp = temperature_at(
