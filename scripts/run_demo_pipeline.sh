@@ -22,15 +22,15 @@ cd "$(dirname "$0")/.."
 export SSKD_PLATFORM=${SSKD_PLATFORM:-cpu}
 
 SAMPLES=${SAMPLES:-200}
-TEACHER_STEPS=${TEACHER_STEPS:-1500}
-TEACHER_LR=${TEACHER_LR:-5e-4}
-EPOCHS=${EPOCHS:-8}
-BATCH=${BATCH:-4}
+TEACHER_STEPS=${TEACHER_STEPS:-2000}
+TEACHER_LR=${TEACHER_LR:-1e-3}
+EPOCHS=${EPOCHS:-12}
+BATCH=${BATCH:-8}
 STAGE=${STAGE:-2}
 WORK=${WORK:-artifacts/demo}
 # tiny demo model + few steps need a demo-scale learning rate; the
 # production default (2e-5) moves weights invisibly in a few epochs
-export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.005}
+export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.003}
 # keep every teacher-scored candidate as a soft-labeled negative: filtering
 # at the production threshold (0.6) throws away exactly the graded scores
 # the KD losses distill from
@@ -55,7 +55,7 @@ run eval --model "$WORK/teacher" --teacher \
 
 echo "=== [4/7] full-KD student (stage $STAGE, $EPOCHS epochs) ==="
 SEMANTIC_KD_TEACHER__MODEL_NAME="$WORK/teacher" \
-run train --tiny --data-dir "$WORK/data" --dataset demo \
+run train --tiny --student-arch demo --data-dir "$WORK/data" --dataset demo \
   --output-dir "$WORK/run_kd" --stage "$STAGE" --epochs "$EPOCHS" \
   --batch-size "$BATCH" --save-init "$WORK/vanilla" \
   --dev-data "$WORK/data/raw/demo/validation.jsonl"
@@ -67,7 +67,7 @@ SEMANTIC_KD_TEACHER__MODEL_NAME="$WORK/teacher" \
 SEMANTIC_KD_LOSS__MARGIN_MSE_WEIGHT=0.0 \
 SEMANTIC_KD_LOSS__LISTWISE_KD_WEIGHT=0.0 \
 SEMANTIC_KD_LOSS__CONTRASTIVE_WEIGHT=1.0 \
-run train --tiny --data-dir "$WORK/data" --dataset demo \
+run train --tiny --student-arch demo --data-dir "$WORK/data" --dataset demo \
   --output-dir "$WORK/run_contrastive" --stage "$STAGE" --epochs "$EPOCHS" \
   --batch-size "$BATCH" \
   --dev-data "$WORK/data/raw/demo/validation.jsonl"

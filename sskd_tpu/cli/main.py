@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--tiny", action="store_true", help="tiny architectures (demo/CI)")
     p.add_argument(
+        "--student-arch",
+        default="tiny",
+        choices=["tiny", "demo"],
+        help="with --tiny: student size — 'tiny' (2L/64H, CI-fast) or "
+        "'demo' (4L/128H; the from-scratch bi-encoder needs the extra "
+        "capacity to close on the cross-encoder teacher in the ablation)",
+    )
+    p.add_argument(
         "--save-init",
         default=None,
         help="save the untrained student here before training (the fair "
@@ -220,16 +228,12 @@ def _tiny_student(path_or_name: str, tiny: bool):
 
 
 def _load_eval_inputs(raw_jsonl: str, max_samples: int):
-    from sskd_tpu.cli.pipeline import build_training_inputs
+    # graded qrels (cross-query sidecar when present, else row-local
+    # grades; grade == is_selected for binary data): nDCG uses the grades
+    # as gains, so hard near-misses (demo grade 1) score partial credit
+    from sskd_tpu.cli.pipeline import load_eval_inputs
 
-    queries, positives, positive_ids, corpus = build_training_inputs(
-        Path(raw_jsonl), max_samples
-    )
-    q_map = {f"q{i}": q for i, q in enumerate(queries)}
-    qrels = {
-        f"q{i}": {pid: 1.0 for pid in pids} for i, pids in enumerate(positive_ids)
-    }
-    return q_map, corpus, qrels
+    return load_eval_inputs(raw_jsonl, max_samples)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -294,7 +298,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.tiny:
             from sskd_tpu.models import BertConfig
 
-            student_config = BertConfig.tiny()
+            student_config = (
+                BertConfig.demo_teacher()
+                if getattr(args, "student_arch", "tiny") == "demo"
+                else BertConfig.tiny()
+            )
             teacher_config = BertConfig.tiny()
         mesh = None
         if args.data_parallel is None:

@@ -35,12 +35,18 @@ def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
     passages across queries, and keeping every copy under its own id makes
     retrieval metrics penalize arbitrary tie-breaks between identical docs
     (a query's own copy ranks below an unlabeled twin). Every duplicate maps
-    onto the first-seen canonical id."""
-    from sskd_tpu.data.prepare import _iter_passages
+    onto the first-seen canonical id.
+
+    Returns (queries, positives, positive_ids, corpus, graded_rels) —
+    graded_rels[i] maps doc_id -> relevance grade > 0 for query i (grade
+    defaults to is_selected when the data carries no ``relevance_grade``
+    list, so it is binary for real MS MARCO and graded for the demo set)."""
+    from sskd_tpu.data.prepare import _iter_passages_graded
 
     queries: list[str] = []
     positives: list[list[str]] = []
     positive_ids: list[list[str]] = []
+    graded_rels: list[dict[str, float]] = []
     corpus: dict[str, str] = {}
     text_to_id: dict[str, str] = {}
     with open(raw_jsonl) as f:
@@ -51,7 +57,10 @@ def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
             qid = str(row.get("query_id"))
             qtext = row.get("query", "")
             pos_texts, pos_ids = [], []
-            for pi, (text, selected) in enumerate(_iter_passages(row)):
+            rels: dict[str, float] = {}
+            for pi, (text, selected, grade) in enumerate(
+                _iter_passages_graded(row)
+            ):
                 doc_id = text_to_id.get(text)
                 if doc_id is None:
                     doc_id = f"{qid}_passage_{pi}"
@@ -60,11 +69,59 @@ def build_training_inputs(raw_jsonl: Path, max_samples: int | None = None):
                 if selected == 1:
                     pos_texts.append(text)
                     pos_ids.append(doc_id)
+                if grade > 0:
+                    rels[doc_id] = max(rels.get(doc_id, 0.0), grade)
             if pos_texts:
                 queries.append(qtext)
                 positives.append(pos_texts)
                 positive_ids.append(pos_ids)
-    return queries, positives, positive_ids, corpus
+                graded_rels.append(rels)
+    return queries, positives, positive_ids, corpus, graded_rels
+
+
+def load_eval_inputs(raw_jsonl: str | Path, max_samples: int | None = None):
+    """(queries, corpus, qrels) for retrieval eval. Prefers a TREC-style
+    ``<split>.qrels.jsonl`` sidecar (cross-query ground truth, keyed by
+    passage text — the demo generator emits one; see
+    sskd_tpu/data/demo.py) and falls back to row-local graded labels.
+    Row-local labels understate quality whenever another query's positive
+    is interchangeable with this one (the unlabeled-duplicate trap)."""
+    from sskd_tpu.data.prepare import _iter_passages_graded
+
+    raw_jsonl = Path(raw_jsonl)
+    queries, positives, positive_ids, corpus, graded = build_training_inputs(
+        raw_jsonl, max_samples
+    )
+    q_map = {f"q{i}": q for i, q in enumerate(queries)}
+    qrels = {f"q{i}": rels for i, rels in enumerate(graded)}
+
+    sidecar = raw_jsonl.with_name(raw_jsonl.name[: -len(".jsonl")] + ".qrels.jsonl")
+    if sidecar.exists():
+        by_qid: dict = {}
+        with open(sidecar) as f:
+            for line in f:
+                row = json.loads(line)
+                by_qid[row["query_id"]] = row["rels"]
+        # rows are consumed in file order, skipping positive-less ones —
+        # recover each kept row's query_id to pair with the sidecar
+        kept_qids = []
+        with open(raw_jsonl) as f:
+            for line in f:
+                if max_samples and len(kept_qids) >= max_samples:
+                    break
+                row = json.loads(line)
+                if any(s == 1 for _, s, _ in _iter_passages_graded(row)):
+                    kept_qids.append(row.get("query_id"))
+        text_to_id = {t: d for d, t in corpus.items()}
+        for i, qid in enumerate(kept_qids):
+            rels_by_text = by_qid.get(qid)
+            if rels_by_text is not None:
+                qrels[f"q{i}"] = {
+                    text_to_id[t]: float(g)
+                    for t, g in rels_by_text.items()
+                    if t in text_to_id
+                }
+    return q_map, corpus, qrels
 
 
 def mined_to_samples(queries, positives, mined, corpus):
@@ -146,7 +203,7 @@ def run_train_pipeline(
 
     # [5/7 first] training inputs — the corpus defines the mining id space
     logger.info("[5/7] building queries/positives/corpus from raw JSONL")
-    queries, positives, positive_ids, corpus = build_training_inputs(
+    queries, positives, positive_ids, corpus, _ = build_training_inputs(
         raw_train, max_samples
     )
     logger.info(f"    {len(queries)} queries, corpus {len(corpus)} passages")
@@ -292,11 +349,7 @@ def run_train_pipeline(
     if dev_data is not None:
         from sskd_tpu.kd.eval import KDEvaluator
 
-        dq, dpos, dpos_ids, dcorpus = build_training_inputs(Path(dev_data))
-        dev_q = {f"q{i}": q for i, q in enumerate(dq)}
-        dev_qrels = {
-            f"q{i}": {pid: 1.0 for pid in pids} for i, pids in enumerate(dpos_ids)
-        }
+        dev_q, dcorpus, dev_qrels = load_eval_inputs(Path(dev_data))
         dev_ev = KDEvaluator(k_values=(10,))
 
         def dev_evaluator(current_student):

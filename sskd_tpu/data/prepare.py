@@ -40,17 +40,31 @@ REQUIRED_COLUMNS = (
 
 def _iter_passages(row: dict):
     """Yield (passage_text, is_selected) from either MS MARCO layout."""
+    for text, sel, _grade in _iter_passages_graded(row):
+        yield text, sel
+
+
+def _iter_passages_graded(row: dict):
+    """Yield (passage_text, is_selected, relevance_grade). The grade rides
+    in an OPTIONAL parallel ``relevance_grade`` list (the demo generator
+    emits 2=positive / 1=hard near-miss / 0=irrelevant for graded nDCG);
+    absent — i.e. real MS MARCO — it defaults to is_selected, so binary
+    data behaves exactly as before."""
     passages = row.get("passages")
     if passages is None:
         return
     if isinstance(passages, dict):  # v2.1 nested layout
         texts = passages.get("passage_text", [])
         selected = passages.get("is_selected", [0] * len(texts))
-        for text, sel in zip(texts, selected):
-            yield text, int(sel)
+        grades = passages.get("relevance_grade", selected)
+        for text, sel, grade in zip(texts, selected, grades):
+            yield text, int(sel), float(grade)
     elif isinstance(passages, list):  # legacy list-of-dicts layout
         for p in passages:
-            yield p.get("passage_text", ""), int(p.get("is_selected", 0))
+            sel = int(p.get("is_selected", 0))
+            yield p.get("passage_text", ""), sel, float(
+                p.get("relevance_grade", sel)
+            )
     else:
         raise DataError(f"unrecognized passages layout: {type(passages)}")
 

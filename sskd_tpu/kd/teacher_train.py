@@ -151,7 +151,14 @@ class TeacherTrainer:
         batch_size: int = 32,
         max_len: int = 64,
         eval_frac: float = 0.1,
+        pos_fraction: float = 0.25,
     ) -> dict:
+        """``pos_fraction``: class-balanced batch sampling — mined triples
+        run ~1 positive to 8+ negatives, and with uniform sampling the
+        pointwise sigmoid objective collapses toward predict-0 (observed on
+        the demo task: 0.95 pair accuracy — the base rate — with retrieval
+        nDCG@10 at 0.16). Each batch draws ``round(batch_size *
+        pos_fraction)`` positives with replacement. 0 disables."""
         module = self.teacher.module
         n_eval = max(1, int(len(triples) * eval_frac))
         eval_triples = list(triples[:n_eval])
@@ -162,6 +169,13 @@ class TeacherTrainer:
         mask = batch_tok["attention_mask"]
         types = batch_tok["token_type_ids"]
         n = ids.shape[0]
+        pos_idx = np.nonzero(labels > 0.5)[0]
+        neg_idx = np.nonzero(labels <= 0.5)[0]
+        n_pos_per_batch = (
+            int(round(batch_size * pos_fraction))
+            if 0 < pos_fraction < 1 and len(pos_idx) and len(neg_idx)
+            else 0
+        )
 
         warmup = max(1, int(steps * self.warmup_ratio))
         schedule = optax.join_schedules(
@@ -202,7 +216,19 @@ class TeacherTrainer:
         base_key = jax.random.PRNGKey(self.seed)
         losses = []
         for step in range(steps):
-            idx = rng.integers(0, n, size=batch_size)
+            if n_pos_per_batch:
+                idx = np.concatenate(
+                    [
+                        pos_idx[rng.integers(0, len(pos_idx), n_pos_per_batch)],
+                        neg_idx[
+                            rng.integers(
+                                0, len(neg_idx), batch_size - n_pos_per_batch
+                            )
+                        ],
+                    ]
+                )
+            else:
+                idx = rng.integers(0, n, size=batch_size)
             params, opt_state, loss = step_fn(
                 params,
                 opt_state,

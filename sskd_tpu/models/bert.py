@@ -86,6 +86,23 @@ class BertConfig:
             **kw,
         )
 
+    @classmethod
+    def demo_teacher(cls, vocab_size: int = 2048, **kw) -> "BertConfig":
+        """Demo-scale TEACHER: ~4x the tiny student's capacity, mirroring
+        the reference's teacher >> student asymmetry (bge-reranker-large
+        560M vs e5-small 33M) at demo scale — the tiny 2L/64H cross-encoder
+        memorizes the demo relevance task instead of learning its
+        query-word -> doc-word mapping, leaving nothing distillable."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=128,
+            num_layers=4,
+            num_heads=4,
+            intermediate_size=512,
+            max_position_embeddings=512,
+            **kw,
+        )
+
 
 class SelfAttention(nn.Module):
     """Multi-head self-attention with additive mask.
