@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--method", default=None,
                     choices=["exact", "approx", "clustered"],
                     help="default: index.search_method setting")
+    pb.add_argument("--refine-m", type=int, default=None,
+                    help="int8+approx: candidates for the exact bf16 "
+                    "rescore stage (default: index.refine_m setting; "
+                    "0 disables)")
     pb.add_argument("--tiny", action="store_true")
     _add_platform_arg(pb)
     pv = index_sub.add_parser("validate", help="recall gate vs brute force")
@@ -388,6 +392,11 @@ def main(argv: list[str] | None = None) -> int:
                 recall_target=settings.index.recall_target,
                 cluster_rows=settings.index.cluster_rows,
                 nprobe=settings.index.nprobe,
+                refine_m=(
+                    args.refine_m
+                    if args.refine_m is not None
+                    else settings.index.refine_m
+                ),
             )
             builder.build_from_parquet(
                 student, args.data, batch_size=args.batch_size, max_docs=args.max_docs

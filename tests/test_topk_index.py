@@ -174,6 +174,70 @@ class TestIndexBuilder:
         assert idx[:, 0].tolist() == [0, 1, 2, 3]
         assert b2.validate(n_queries=30, k=10)["recall@10"] >= 0.97
 
+    def test_refined_index_roundtrip_and_recall(self, tmp_path):
+        """int8 + refine_m: the bf16 rescore stage must survive save/load
+        and beat (or match) the plain-int8 recall vs f32 brute force."""
+        rng = np.random.default_rng(21)
+        emb = _normed(rng, 1500, 64)
+        ids = [f"d{i}" for i in range(1500)]
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=32
+        )
+        b.build_from_arrays(emb, ids)
+        out = tmp_path / "idx_refined"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+        assert b2.refine_m == 32
+        assert b2._refine is not None
+
+        q = _normed(rng, 40, 64)
+        gt = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+        _, idx_ref = b2.search(q, k=10)
+        plain = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx"
+        ).build_from_arrays(emb, ids)
+        _, idx_plain = plain.search(q, k=10)
+
+        def recall(idx):
+            return np.mean(
+                [len(set(idx[i]) & set(gt[i])) / 10 for i in range(len(q))]
+            )
+
+        assert recall(idx_ref) >= recall(idx_plain) - 1e-9
+        assert recall(idx_ref) >= 0.97
+        # scores come from the bf16 rescore: near the true f32 values
+        vals, idx2 = b2.search(q[:2], k=5)
+        true = (q[:2] @ emb.T)
+        for r in range(2):
+            for c in range(5):
+                assert abs(vals[r, c] - true[r, idx2[r, c]]) < 0.02
+
+    def test_refined_corrupt_refine_rows_rejected(self, tmp_path):
+        rng = np.random.default_rng(22)
+        emb = _normed(rng, 300, 64)
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=16
+        )
+        b.build_from_arrays(emb, [str(i) for i in range(300)])
+        out = tmp_path / "idx_corrupt"
+        b.save(out)
+        data = np.load(out / "refine.npy")
+        data.view(np.uint8)[0] ^= 0xFF
+        np.save(out / "refine.npy", data)
+        with pytest.raises(IndexLoadError):
+            IndexBuilder().load(out)
+
+    def test_refined_k_exceeds_ntotal_sentinels(self):
+        rng = np.random.default_rng(23)
+        emb = _normed(rng, 6, 64)
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=32
+        )
+        b.build_from_arrays(emb, [str(i) for i in range(6)])
+        vals, idx = b.search(_normed(rng, 2, 64), k=10)
+        assert idx.shape == (2, 10)
+        assert (idx[:, 6:] == -1).all()
+
     def test_validation_gate(self, tmp_path):
         rng = np.random.default_rng(8)
         emb = _normed(rng, 300, 384)
