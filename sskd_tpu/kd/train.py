@@ -341,7 +341,7 @@ class KDTrainer:
                         ),
                     )
                 if (
-                    dev_samples
+                    (dev_samples or dev_evaluator is not None)
                     and cfg.eval_steps
                     and global_step % cfg.eval_steps == 0
                 ):
@@ -350,7 +350,19 @@ class KDTrainer:
                     # so a mid-epoch improvement is captured, not just
                     # logged. The reference declared eval_steps but never
                     # wired it (reference: config.py:96-97, SURVEY.md 7.4).
-                    step_ndcg = self._dev_ndcg(dev_samples, params)
+                    # MUST use the same evaluator as the epoch path: mixing
+                    # the in-candidate metric with a full-corpus
+                    # dev_evaluator would compare incompatible scales in
+                    # best_metric.
+                    if dev_evaluator is not None:
+                        old_params = self.student.params
+                        self.student.params = params
+                        try:
+                            step_ndcg = float(dev_evaluator(self.student))
+                        finally:
+                            self.student.params = old_params
+                    else:
+                        step_ndcg = self._dev_ndcg(dev_samples, params)
                     step_evals.append(
                         {"step": global_step, "dev_ndcg@10": float(step_ndcg)}
                     )

@@ -183,6 +183,42 @@ class TestKDTrainer:
         assert len(result["history"]) == 2
         assert result["best_metric"] == pytest.approx(0.9)
 
+    def test_eval_steps_use_dev_evaluator_scale(
+        self, student, tmp_path, monkeypatch
+    ):
+        """When a full-corpus ``dev_evaluator`` drives epoch-end selection,
+        step-granular evals must go through the SAME evaluator — mixing the
+        in-candidate ``_dev_ndcg`` metric into ``best_metric`` would compare
+        incompatible scales and corrupt best-model selection."""
+        samples = _make_samples(8)  # 2 steps/epoch at batch 4
+        calls = []
+
+        def evaluator(model):
+            calls.append(1)
+            return 0.5
+
+        monkeypatch.setattr(
+            KDTrainer,
+            "_dev_ndcg",
+            lambda self, dev, params: pytest.fail(
+                "in-candidate metric used while a dev_evaluator is active"
+            ),
+        )
+        trainer = KDTrainer(student, self._settings(epochs=1, eval_steps=1))
+        result = trainer.train(
+            samples,
+            dev_samples=samples[:4],
+            dev_evaluator=evaluator,
+            output_dir=tmp_path / "scale",
+            query_len=16,
+            doc_len=16,
+        )
+        evals = result["history"][0]["step_evals"]
+        assert [e["step"] for e in evals] == [1, 2]
+        # 2 step evals + 1 epoch-end eval, all through the one evaluator
+        assert len(calls) == 3
+        assert result["best_metric"] == pytest.approx(0.5)
+
     def test_resume_from_checkpoint(self, student, tmp_path):
         samples = _make_samples(8)
         out = tmp_path / "resume"
