@@ -38,6 +38,11 @@ Environment knobs:
                       low-intrinsic-dim corpus with a same-corpus sweep
                       reference; the honest record is that the dense
                       sweep wins (adr-009), and this keeps tracking it
+  SSKD_BENCH_BF16     also run the bf16-rows 1M point (default: 1 on TPU)
+  SSKD_BENCH_MODEL    also run the model-side benches: student encode
+                      docs/s at e5-small-v2 shape, teacher pairs/s at
+                      bge-reranker-large shape, KD train-step ms
+                      (default: 1 on TPU; VERDICT r2 next #1)
 """
 
 from __future__ import annotations
@@ -105,12 +110,14 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     q0 = jnp.asarray(queries)
 
-    def slope_ms(search_fn, *args, q=None) -> float:
-        """ms per sweep via data-dependent on-device loop + readback.
-        The chained loop defeats BOTH tunnel lies: dispatch returning
-        before execution, and repeated identical computations being served
-        from a cache (measured: a fixed-input timing loop reported 0.024 ms
-        for a kernel whose true cost is 2.3 ms)."""
+    def slope_runs(search_fn, *args, q=None, repeats=1) -> list[float]:
+        """ms per sweep via data-dependent on-device loop + readback,
+        ``repeats`` times on the SAME compiled programs (compile once,
+        re-time cheaply). The chained loop defeats BOTH tunnel lies:
+        dispatch returning before execution, and repeated identical
+        computations being served from a cache (measured: a fixed-input
+        timing loop reported 0.024 ms for a kernel whose true cost is
+        2.3 ms)."""
         q_arr = q0 if q is None else q
 
         def make(n):
@@ -126,25 +133,42 @@ def main() -> None:
 
             return chained
 
-        times = {}
-        for n in (1, iters):
-            fn = make(n)
-            out = fn(q_arr, *args)
-            float(out[1])  # compile + settle
-            t0 = time.perf_counter()
-            out = fn(q_arr, *args)
-            float(out[1])  # readback forces completion
-            times[n] = time.perf_counter() - t0
-        return max(0.0, (times[iters] - times[1]) / (iters - 1) * 1000.0)
+        fns = {n: make(n) for n in (1, iters)}
+        runs = []
+        for _ in range(repeats):
+            times = {}
+            for n in (1, iters):
+                fn = fns[n]
+                out = fn(q_arr, *args)
+                float(out[1])  # compile (first repeat only) + settle
+                t0 = time.perf_counter()
+                out = fn(q_arr, *args)
+                float(out[1])  # readback forces completion
+                times[n] = time.perf_counter() - t0
+            runs.append(
+                max(0.0, (times[iters] - times[1]) / (iters - 1) * 1000.0)
+            )
+        return runs
 
-    # headline: int8 + fused binned top-k (production config)
-    approx_ms = slope_ms(
+    def slope_ms(search_fn, *args, q=None) -> float:
+        return slope_runs(search_fn, *args, q=q)[0]
+
+    # headline: int8 + fused binned top-k (production config). THREE
+    # interleaved-in-time slope measurements, best-of taken: the r01->r02
+    # "regression" (3.564 -> 3.815 ms) was measurement spread — the kernel
+    # code was byte-identical across rounds (git diff 008153a..HEAD) and
+    # cross-run spread through the tunnel exceeds it; min-of-3 tracks the
+    # machine's capability, detail.runs keeps the spread visible
+    # (VERDICT r2 next #3).
+    approx_runs = slope_runs(
         lambda q, c, s: cosine_topk_core(
             q, c, k=k, row_scales=s, method="approx", recall_target=0.99
         ),
         c8,
         scales,
+        repeats=3,
     )
+    approx_ms = min(approx_runs)
     # exact recall-1.0 engine (Pallas fused on TPU, XLA scan elsewhere)
     if backend == "tpu":
         exact_ms = slope_ms(
@@ -207,6 +231,93 @@ def main() -> None:
         np.mean([len(set(ie[i].tolist()) & set(gt_idx[i])) / k for i in range(n_val)])
     )
 
+    # ---- bf16-rows 1M point (recall-margin alternative to int8: the int8
+    # quantization floor at 1M is ~0.9765 vs exact f32, leaving the 0.97
+    # gate only ~0.006 of headroom; bf16 rows restore recall ~1.0 at ~2x
+    # the bytes — VERDICT r2 next #6) ------------------------------------
+    bf16_point = None
+    want_bf16 = os.environ.get(
+        "SSKD_BENCH_BF16", "1" if backend == "tpu" else "0"
+    ) == "1"
+    if want_bf16 and keep_f32:
+        cbf = jax.block_until_ready(corpus.astype(jnp.bfloat16))
+        bf16_ms = min(
+            slope_runs(
+                lambda q, c: cosine_topk_core(
+                    q, c, k=k, method="approx", recall_target=0.99
+                ),
+                cbf,
+                repeats=2,
+            )
+        )
+        _, ibf = cosine_topk_core(
+            probe_j, cbf, k=k, method="approx", recall_target=0.99
+        )
+        ibf = np.asarray(ibf)
+        bf16_recall = float(
+            np.mean(
+                [len(set(ibf[i].tolist()) & set(gt_idx[i])) / k
+                 for i in range(n_val)]
+            )
+        )
+        bf16_point = {
+            "rows": rows,
+            "ms_per_sweep": round(bf16_ms, 3),
+            "qps": round(batch / (bf16_ms / 1000.0), 1) if bf16_ms > 0 else 0.0,
+            "recall_at_k_vs_exact_f32": round(bf16_recall, 4),
+            "cost_vs_int8": round(bf16_ms / approx_ms, 2) if approx_ms > 0 else None,
+        }
+        del cbf
+
+    # ---- refined mode 1M point: int8 sweep (loose recall target) ->
+    # exact bf16 rescore of the top-m candidates. The production
+    # recall-margin config (index.refine_m): beats the int8 quantization
+    # floor (~0.9765) because the true top-k only needs to land SOMEWHERE
+    # in the int8 top-m, and the bf16 rescore restores order
+    # (VERDICT r2 next #6: recall >= 0.99 at <= ~1.3x the int8 cost) -----
+    refine_point = None
+    if want_bf16 and keep_f32:
+        from sskd_tpu.ops.topk import refined_topk_core
+
+        rbf = jax.block_until_ready(corpus.astype(jnp.bfloat16))
+        refine_ms = min(
+            slope_runs(
+                lambda q, c, s, r: refined_topk_core(
+                    q, c, r, k=k, refine_m=40, row_scales=s,
+                    recall_target=0.95,
+                ),
+                c8,
+                scales,
+                rbf,
+                repeats=2,
+            )
+        )
+        _, irf = refined_topk_core(
+            probe_j, c8, rbf, k=k, refine_m=40, row_scales=scales,
+            recall_target=0.95,
+        )
+        irf = np.asarray(irf)
+        refine_recall = float(
+            np.mean(
+                [len(set(irf[i].tolist()) & set(gt_idx[i])) / k
+                 for i in range(n_val)]
+            )
+        )
+        refine_point = {
+            "rows": rows,
+            "refine_m": 40,
+            "sweep_recall_target": 0.95,
+            "ms_per_sweep": round(refine_ms, 3),
+            "qps": round(batch / (refine_ms / 1000.0), 1)
+            if refine_ms > 0
+            else 0.0,
+            "recall_at_k_vs_exact_f32": round(refine_recall, 4),
+            "cost_vs_int8": round(refine_ms / approx_ms, 2)
+            if approx_ms > 0
+            else None,
+        }
+        del rbf
+
     # ---- 10M-row scale point + ICI shard projection (north star:
     # sub-ms p50 over 10M passages, BASELINE.md) -------------------------
     scale_10m = None
@@ -251,19 +362,71 @@ def main() -> None:
                 [len(set(ia10[i].tolist()) & set(gt10[i])) / k for i in range(n_val)]
             )
         )
-        # ICI shard projection: rows split over N chips sweep in ~1/N the
-        # time (HBM-bound); the all-gather merge moves shards*B*k pairs —
-        # negligible next to the sweep (measured multi-device on the CPU
-        # mesh; real multi-chip is unavailable on this host)
+        # p50 at the north-star config is a per-QUERY latency: measure the
+        # B=1 sweep directly (amortized B=1024 numbers do not answer it)
+        ms_10m_b1 = slope_ms(
+            lambda q, c, s: cosine_topk_core(
+                q, c, k=k, row_scales=s, method="approx", recall_target=0.99
+            ),
+            c8_10,
+            scales_10,
+            q=q0[:1],
+        )
+
+        # ICI shard projection with BOTH terms measured (VERDICT r2 next
+        # #7 — no more bare "divide by N"):
+        #   projected = local_sweep(N/8 rows) + merge(8 shards)
+        # merge term: the final exact top-k over the 8 gathered candidate
+        # sets is timed ON-CHIP below; the all-gather itself moves
+        # 8*B*k*(4+4) bytes over ICI (v5e ~100 GB/s/link) — bytes and the
+        # bandwidth-model estimate are recorded. Multi-chip execution of
+        # this exact program is validated on the 8-device CPU mesh
+        # (tests/test_sharded_serving.py, dryrun_multichip).
+        n_shards = 8
+        from sskd_tpu.ops.topk import merge_topk
+
+        def merge_fn(q, cand_v, cand_i):
+            # q participates only to chain the slope loop
+            v, i2 = merge_topk(cand_v + q[:, :1] * 0.0, cand_i, k)
+            return v, i2
+
+        def merge_time(nq: int) -> float:
+            cand_v = jnp.asarray(
+                rng.standard_normal((nq, n_shards * k)).astype(np.float32)
+            )
+            cand_i = jnp.asarray(
+                rng.integers(0, rows10, (nq, n_shards * k)).astype(np.int32)
+            )
+            return slope_ms(merge_fn, cand_v, cand_i, q=q0[:nq])
+
+        merge_ms_b1 = merge_time(1)
+        merge_ms_batch = merge_time(batch)
+        gather_bytes_b1 = n_shards * 1 * k * 8
+        gather_ms_b1 = gather_bytes_b1 / 100e9 * 1e3  # v5e ICI ~100 GB/s
+        projected_p50 = ms_10m_b1 / n_shards + merge_ms_b1 + gather_ms_b1
+
         scale_10m = {
             "rows": rows10,
             "ms_per_sweep": round(ms_10m, 3),
             "qps": round(batch / (ms_10m / 1000.0), 1) if ms_10m > 0 else 0.0,
             "recall_at_k_vs_exact_int8": round(recall_10m, 4),
-            "projected_ms_per_sweep_8_shards": round(ms_10m / 8, 3),
-            "projected_ms_per_sweep_16_shards": round(ms_10m / 16, 3),
+            "ms_per_sweep_b1": round(ms_10m_b1, 3),
+            "merge_topk_ms_b1": round(merge_ms_b1, 4),
+            "merge_topk_ms_batch": round(merge_ms_batch, 4),
+            "allgather_bytes_b1": gather_bytes_b1,
+            "allgather_est_ms_b1": round(gather_ms_b1, 5),
+            "projected_p50_ms_10m_8shard": round(projected_p50, 3),
+            "projected_formula": "b1_sweep/8 + measured_merge + ici_bytes/bw",
+            "projected_ms_per_sweep_8_shards": round(
+                ms_10m / 8 + merge_ms_batch, 3
+            ),
             "projected_sub_ms_p50_shards": (
-                1 if ms_10m <= 1.0 else 2 ** math.ceil(math.log2(ms_10m))
+                1
+                if ms_10m_b1 <= 1.0
+                else 2
+                ** math.ceil(
+                    math.log2(ms_10m_b1 / max(0.05, 1.0 - merge_ms_b1))
+                )
             ),
         }
         del c8_10, scales_10
@@ -386,6 +549,284 @@ def main() -> None:
         }
         del vq, sq, cent_j
 
+    # ---- model-side benches at REAL shapes (VERDICT r2 next #1: two of
+    # the stack's three compute phases had no recorded on-chip numbers).
+    # Random weights — perf is shape-determined, not value-determined.
+    model_block = None
+    want_model = os.environ.get(
+        "SSKD_BENCH_MODEL", "1" if backend == "tpu" else "0"
+    ) == "1"
+    if want_model:
+        import optax
+
+        from sskd_tpu.kd.losses import combined_kd_loss
+        from sskd_tpu.models.bert import BertConfig, BiEncoder, CrossEncoder
+
+        # the index corpora are done — free ~2GB HBM so the model benches
+        # (bge-large params are 2.2GB f32) have headroom
+        del c8, scales
+        corpus = None
+
+        salt_src = iter(range(1, 1 << 20))
+
+        def fwd_slope_ms(module_apply, params, ids, *rest, n_hi: int = 6) -> float:
+            """ms per forward via an ids-CHAINED on-device fori_loop +
+            slope. THREE tunnel lies defeated here (each measured):
+            (1) async dispatch returning before execution — the final
+            readback forces completion; (2) host contention — the
+            t(n_hi)-t(1) slope cancels dispatch/readback overhead (a
+            host-driven loop measured 200 ms for a ~5 ms forward);
+            (3) the tunnel serves REPEATED IDENTICAL computations from a
+            result cache (trial 0 of a fixed-input loop cost 152.6 ms,
+            trials 1-2 ~1 ms) — an invisible-epsilon params perturbation
+            does NOT defeat it (x + 1e-18 underflows to x in f32, so the
+            computation stays bit-identical); instead iteration i+1's
+            token ids are derived from iteration i's output and a
+            per-dispatch seed, so every iteration AND every dispatch
+            computes on materially different data. The FULL output is
+            consumed (reducing only out[0] let XLA dead-code-eliminate
+            63 of 64 batch rows through the whole network: a 24L/1024H
+            B=64 forward "took" 1.8 ms)."""
+
+            def make(n):
+                @jax.jit
+                def chained(p, ids_in, seed, *a):
+                    def body(i, carry):
+                        ids_c, acc = carry
+                        out = module_apply(p, ids_c, *a)
+                        total = out.astype(jnp.float32).sum()
+                        shift = (total * 0 + i + seed).astype(jnp.int32)
+                        ids_c = (ids_c + shift) % 1000 + 10
+                        return ids_c, acc + total
+
+                    _, acc = jax.lax.fori_loop(
+                        0, n, body, (ids_in, jnp.float32(0))
+                    )
+                    return acc
+
+                return chained
+
+            times = {}
+            for n in (1, n_hi):
+                fn = make(n)
+                # compile + settle (its own distinct seed)
+                float(fn(params, ids, jnp.float32(next(salt_src)), *rest))
+                best = float("inf")
+                for _ in range(2):
+                    s = jnp.float32(next(salt_src))
+                    t0 = time.perf_counter()
+                    float(fn(params, ids, s, *rest))
+                    best = min(best, time.perf_counter() - t0)
+                times[n] = best
+            return max(0.0, (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0)
+
+        dummy = np.zeros((1, 8), np.int32)
+        model_block = {}
+
+        # (a) student corpus-encode throughput: e5-small-v2 shape
+        # (12L/384H), bf16 compute, batch 256, L=512 (chunker max — the
+        # index-build worst case). Reference: GPU 2k-10k docs/s at bs
+        # 32-256 (ref docs/operations/scaling-and-performance.md:233-238).
+        ecfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
+        enc = BiEncoder(ecfg, normalize=True, pooling="mean")
+        eparams = enc.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
+
+        def tokens(B, L):
+            return (
+                jnp.asarray(
+                    rng.integers(1000, ecfg.vocab_size, (B, L)).astype(
+                        np.int32
+                    )
+                ),
+                jnp.ones((B, L), np.int32),
+            )
+
+        # corpus-encode throughput at two shapes: L=512 (chunker max, the
+        # index-build worst case) and L=128 (typical MS MARCO passage —
+        # the shape behind the reference's GPU 2k-10k docs/s table,
+        # ref docs/operations/scaling-and-performance.md:233-238)
+        model_block["student_encode"] = []
+        for EB, EL in ((256, 512), (256, 128)):
+            ids, mask = tokens(EB, EL)
+            enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
+            model_block["student_encode"].append(
+                {
+                    "arch": "e5-small-v2 shape (12L/384H)",
+                    "batch": EB,
+                    "seq_len": EL,
+                    "ms_per_batch": round(enc_ms, 2),
+                    "docs_per_s": round(EB / (enc_ms / 1000.0), 1)
+                    if enc_ms > 0
+                    else 0.0,
+                    "ref_gpu_docs_per_s": "2000-10000",
+                }
+            )
+
+        # query-encode device latency at serving shape (B=1, L=64 bucket)
+        # — the reference's "~1 ms query encode" headline point (ref
+        # docs/overview/results-and-benchmarks.md:42-48). End-to-end
+        # serving latency (host+RTT included) is bench_serving.py's job.
+        ids1, mask1 = tokens(1, 64)
+        q_ms = fwd_slope_ms(enc.apply, eparams, ids1, mask1, n_hi=16)
+        model_block["student_query_encode_b1_ms"] = round(q_ms, 3)
+
+        # (b) KD train step: B=32 queries x N=8 docs, doc_len 192, query
+        # len 64 — the trainer's exact step math (jit, bf16 compute, adamw
+        # + clip, dropout active)
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(2e-5, weight_decay=0.01),
+        )
+        opt_state = tx.init(eparams)
+        TB_, TN, QL, DL = 32, 8, 64, 192
+
+        # same remat the production trainer uses (kd/train.py — without it
+        # the doc-tower backward OOMs v5e HBM at exactly this shape)
+        enc_remat = jax.checkpoint(
+            lambda p, ids, mask, rng: enc.apply(
+                p, ids, mask, deterministic=False, rngs={"dropout": rng}
+            )
+        )
+
+        def train_step(params, opt_state, batch, rng):
+            q_rng, d_rng = jax.random.split(rng)
+
+            def loss_fn(p):
+                q_emb = enc_remat(
+                    p, batch["query_ids"], batch["query_mask"], q_rng
+                )
+                B, N, L = batch["doc_ids"].shape
+                d_emb = enc_remat(
+                    p,
+                    batch["doc_ids"].reshape(B * N, L),
+                    batch["doc_mask"].reshape(B * N, L),
+                    d_rng,
+                ).reshape(B, N, -1)
+                scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
+                out = combined_kd_loss(
+                    scores, batch["teacher_scores"], batch["doc_valid"],
+                    temperature=3.0,
+                )
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, loss
+
+
+        def make_kd_batch(seed):
+            r = np.random.default_rng(seed)
+            return {
+                "query_ids": jnp.asarray(
+                    r.integers(1000, ecfg.vocab_size, (TB_, QL)).astype(
+                        np.int32
+                    )
+                ),
+                "query_mask": jnp.ones((TB_, QL), jnp.int32),
+                "doc_ids": jnp.asarray(
+                    r.integers(1000, ecfg.vocab_size, (TB_, TN, DL)).astype(
+                        np.int32
+                    )
+                ),
+                "doc_mask": jnp.ones((TB_, TN, DL), jnp.int32),
+                "teacher_scores": jnp.asarray(
+                    r.uniform(-5, 5, (TB_, TN)).astype(np.float32)
+                ),
+                "doc_valid": jnp.ones((TB_, TN), jnp.bool_),
+            }
+
+        kd_batch = make_kd_batch(0)
+
+        # slope over an on-device multi-step loop: steps chain through
+        # params/opt_state, so the device must execute all of them; the
+        # t(n)-t(1) slope cancels dispatch + host overhead (a host-driven
+        # step-per-dispatch loop measured 467 ms/step under CPU
+        # contention for what is really a ~X ms step)
+        def make_train(n):
+            @jax.jit
+            def chained(params, opt_state, batch, rng):
+                def body(i, carry):
+                    p, o = carry
+                    p, o, _ = train_step(p, o, batch, jax.random.fold_in(rng, i))
+                    return (p, o)
+
+                p, o = jax.lax.fori_loop(0, n, body, (params, opt_state))
+                return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+            return chained
+
+        # distinct rng per dispatch: identical repeated dispatches are
+        # served from the tunnel's result cache (see fwd_slope_ms)
+        rng_key = jax.random.PRNGKey(7)
+        t_times = {}
+        for n in (1, 5):
+            fn = make_train(n)
+            float(fn(eparams, opt_state, kd_batch,
+                     jax.random.fold_in(rng_key, next(salt_src))))
+            best = float("inf")
+            for _ in range(2):
+                r = jax.random.fold_in(rng_key, next(salt_src))
+                t0 = time.perf_counter()
+                float(fn(eparams, opt_state, kd_batch, r))
+                best = min(best, time.perf_counter() - t0)
+            t_times[n] = best
+        step_ms = max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
+        model_block["train_step"] = {
+            "batch": TB_,
+            "num_docs": TN,
+            "query_len": QL,
+            "doc_len": DL,
+            "ms_per_step": round(step_ms, 2),
+            "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
+        }
+        del kd_batch, eparams, opt_state
+
+        # (c) teacher rescoring throughput: bge-reranker-large shape
+        # (24L/1024H/250k vocab), bf16, B=64, L=256 (query 64 + doc 192 —
+        # the mining shape). Teacher rescoring is the declared dominant
+        # mining cost (ref docs/overview/results-and-benchmarks.md:68,
+        # ~100 ms/pair CPU).
+        tcfg = BertConfig.bge_reranker_large(compute_dtype=jnp.bfloat16)
+        tmod = CrossEncoder(tcfg)
+        tparams = tmod.init(jax.random.PRNGKey(1), dummy, np.ones_like(dummy))
+        CB, CL = 64, 256
+        t_ids = jnp.asarray(
+            rng.integers(10, tcfg.vocab_size, (CB, CL)).astype(np.int32)
+        )
+        t_ms = fwd_slope_ms(
+            tmod.apply,
+            tparams,
+            t_ids,
+            jnp.ones((CB, CL), np.int32),
+            jnp.zeros((CB, CL), np.int32),
+        )
+        model_block["teacher_score"] = {
+            "arch": "bge-reranker-large shape (24L/1024H)",
+            "batch": CB,
+            "seq_len": CL,
+            "ms_per_batch": round(t_ms, 2),
+            "pairs_per_s": round(CB / (t_ms / 1000.0), 1),
+            "ref_cpu_ms_per_pair": 100,
+        }
+        del tparams
+
+        # (d) host-side tokenizer throughput (the encode path's host
+        # stage; C++ WordPiece core when built)
+        from sskd_tpu.tokenization import get_default_tokenizer
+
+        tok = get_default_tokenizer()
+        docs = [
+            "passage: " + " ".join(
+                f"token{(i * 37 + j) % 997}" for j in range(160)
+            )
+            for i in range(256)
+        ]
+        tok.encode_batch(docs[:8], max_length=512, pad_to=512)  # warm
+        t0 = time.perf_counter()
+        tok.encode_batch(docs, max_length=512, pad_to=512)
+        tok_s = time.perf_counter() - t0
+        model_block["tokenizer_docs_per_s"] = round(len(docs) / tok_s, 1)
+
     qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
     result = {
         "metric": "index_search_qps_chip",
@@ -404,14 +845,22 @@ def main() -> None:
             "recall_ground_truth": gt_kind,
             "recall_gate_0.97": recall >= 0.97,
             "ms_per_sweep": round(approx_ms, 3),
+            "ms_per_sweep_runs": [round(r, 3) for r in approx_runs],
             "ms_per_query_amortized": round(approx_ms / batch, 5),
+            # round-over-round headline history (BENCH_r01/r02.json) so
+            # regressions are visible without archaeology; r01/r02 were
+            # single-shot measurements, r03+ is min-of-3
+            "history_ms_per_sweep": {"r01": 3.564, "r02": 3.815},
             "exact_engine_ms_per_sweep": round(exact_ms, 3),
             "exact_engine_qps": round(batch / (exact_ms / 1000.0), 1)
             if exact_ms > 0
             else 0.0,
             "exact_engine_recall_at_k_vs_exact_f32": round(exact_recall, 4),
+            "bf16_1m": bf16_point,
+            "refined_1m": refine_point,
             "scale_10m": scale_10m,
             "clustered_b1": clustered,
+            "model": model_block,
         },
     }
     print(json.dumps(result))

@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """End-to-end HTTP serving benchmark (reference analog: the serving
-p50/p95/throughput tables in docs/operations/scaling-and-performance.md).
+p50/p95/p99 + throughput tables in docs/operations/scaling-and-performance.md
+:305-330 — 12/35/78 ms and 80->1,800 req/s at concurrency 1->80).
 
-Builds a synthetic index, boots the real service in-process (socket server
-in a thread), drives it with concurrent HTTP clients, prints a JSON report.
+Builds a synthetic index, boots the real service in-process (first-party
+asyncio socket server in a thread, full middleware stack, micro-batcher,
+fused dispatch), drives it with concurrent HTTP clients at a LADDER of
+concurrency levels, prints a JSON report and optionally writes it to a
+committed artifact.
 
-  python scripts/bench_serving.py --rows 100000 --requests 200 --workers 16
+  python scripts/bench_serving.py --rows 1000000 --requests 400 \
+      --levels 1,8,32,64 --arch e5 --out artifacts/bench/serving_tpu.json
 """
 
 import argparse
@@ -25,13 +30,22 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--rows", type=int, default=100_000)
     parser.add_argument("--dim", type=int, default=384)
-    parser.add_argument("--requests", type=int, default=200)
-    parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=200,
+                        help="requests per concurrency level")
+    parser.add_argument("--levels", default="1,8,32",
+                        help="comma-separated concurrency levels")
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--dtype", default="int8")
-    parser.add_argument("--model", default=None, help="student checkpoint (default: tiny random)")
+    parser.add_argument("--model", default=None,
+                        help="student checkpoint (default: tiny random)")
+    parser.add_argument("--arch", default="tiny", choices=["tiny", "e5"],
+                        help="random-weight student arch when no --model: "
+                             "'e5' = e5-small-v2 shape (12L/384H) for "
+                             "honest encode cost")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--out", default=None,
+                        help="also write the JSON report to this path")
     args = parser.parse_args(argv)
 
     from sskd_tpu.utils.logging import setup_logging
@@ -40,6 +54,7 @@ def main(argv=None) -> int:
     setup_logging()
     apply_platform(args.platform)
 
+    import jax.numpy as jnp
     import numpy as np
 
     import sskd_tpu.serve.app as app_module
@@ -49,11 +64,15 @@ def main(argv=None) -> int:
     from sskd_tpu.serve.http import Server
 
     # --- model + index -----------------------------------------------------
-    student = (
-        StudentModel(args.model)
-        if args.model
-        else StudentModel("bench-student", config=BertConfig.tiny())
-    )
+    if args.model:
+        student = StudentModel(args.model)
+    elif args.arch == "e5":
+        student = StudentModel(
+            "bench-student-e5",
+            config=BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16),
+        )
+    else:
+        student = StudentModel("bench-student", config=BertConfig.tiny())
     rng = np.random.default_rng(0)
     emb = rng.standard_normal((args.rows, student.embedding_dim)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
@@ -92,31 +111,55 @@ def main(argv=None) -> int:
 
     for i in range(8):  # warm compile buckets
         hit(i)
-    with concurrent.futures.ThreadPoolExecutor(max_workers=args.workers) as ex:
-        list(ex.map(hit, range(2 * args.workers)))
+
+    levels = [int(x) for x in args.levels.split(",") if x]
+    by_level = []
+    all_correct = True
+    for workers in levels:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(hit, range(2 * workers)))  # warm the level
+            t0 = time.perf_counter()
+            results = list(ex.map(hit, range(args.requests)))
+            wall = time.perf_counter() - t0
+        lats = sorted(t for t, _ in results)
+        all_correct = all_correct and all(n == args.k for _, n in results)
+        by_level.append(
+            {
+                "concurrency": workers,
+                "req_per_s": round(args.requests / wall, 1),
+                "p50_ms": round(lats[len(lats) // 2], 1),
+                "p95_ms": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 1),
+                "p99_ms": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 1),
+            }
+        )
 
     seq = sorted(hit(i)[0] for i in range(30))
-    t0 = time.perf_counter()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=args.workers) as ex:
-        results = list(ex.map(hit, range(args.requests)))
-    wall = time.perf_counter() - t0
-    lats = sorted(t for t, _ in results)
-
+    best = max(by_level, key=lambda r: r["req_per_s"])
     report = {
         "metric": "serving_req_per_s",
-        "value": round(args.requests / wall, 1),
+        "value": best["req_per_s"],
         "unit": "req/s",
         "detail": {
             "rows": args.rows,
             "dtype": args.dtype,
-            "workers": args.workers,
+            "student_arch": (args.model or args.arch),
+            "requests_per_level": args.requests,
             "sequential_p50_ms": round(seq[len(seq) // 2], 1),
-            "concurrent_p50_ms": round(lats[len(lats) // 2], 1),
-            "concurrent_p95_ms": round(lats[int(len(lats) * 0.95)], 1),
-            "all_correct": all(n == args.k for _, n in results),
+            "by_concurrency": by_level,
+            "all_correct": all_correct,
+            "reference": {
+                "p50_p95_p99_ms": [12, 35, 78],
+                "req_per_s_range": [80, 1800],
+                "setup": "Cloud Run 8 vCPU, ONNX INT8, 100k HNSW "
+                         "(ref scaling-and-performance.md:305-330)",
+            },
         },
     }
     print(json.dumps(report))
+    if args.out:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2) + "\n")
     return 0
 
 
