@@ -58,6 +58,13 @@ class LossConfig(BaseModel):
     temperature_start: float = Field(default=4.0, gt=0.0)
     temperature_end: float = Field(default=2.0, gt=0.0)
     contrastive_tau: float = Field(default=0.05, gt=0.0)
+    # widen the InfoNCE denominator with every OTHER query's docs in the
+    # batch (standard dense-retrieval practice; one [B, B*N] matmul on
+    # already-computed embeddings). Off by default: the reference's
+    # InfoNCE is per-query candidates only (reference: src/kd/losses.py
+    # :109-149). Margin-MSE/listwise are untouched — teacher scores only
+    # exist for a query's own candidates.
+    in_batch_negatives: bool = False
 
     @model_validator(mode="after")
     def _weights_sum_to_one(self) -> "LossConfig":

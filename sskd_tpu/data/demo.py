@@ -123,6 +123,7 @@ def generate_demo_dataset(
     n_concepts: int = 16,
     concepts_per_query: int = 2,
     n_hard: int = 3,
+    see_also: int = 2,
 ) -> dict:
     """Write ``{split}.jsonl`` files + ``_manifest.json`` in the fetcher's
     MS MARCO layout and return the manifest dict
@@ -165,7 +166,7 @@ def generate_demo_dataset(
         echo_ids = [concepts[e] for e in echo]
         # positive: full concept match
         passage_texts.append(
-            _doc_text(rng, concepts, pairing, n_concepts, echo=echo_ids)
+            _doc_text(rng, concepts, pairing, n_concepts, see_also=see_also, echo=echo_ids)
         )
         is_selected.append(1)
         grades.append(2)
@@ -181,7 +182,7 @@ def generate_demo_dataset(
             near = list(concepts)
             near[int(rng.integers(concepts_per_query))] = int(rng.choice(pool))
             passage_texts.append(
-                _doc_text(rng, near, pairing, n_concepts, echo=echo_ids)
+                _doc_text(rng, near, pairing, n_concepts, see_also=see_also, echo=echo_ids)
             )
             is_selected.append(0)
             grades.append(1)
@@ -197,7 +198,9 @@ def generate_demo_dataset(
             ]
             if set(cand) & set(concepts):
                 continue
-            passage_texts.append(_doc_text(rng, cand, pairing, n_concepts))
+            passage_texts.append(
+                _doc_text(rng, cand, pairing, n_concepts, see_also=see_also)
+            )
             is_selected.append(0)
             grades.append(0)
             passage_concepts.append((cand, []))

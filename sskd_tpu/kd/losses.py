@@ -106,14 +106,25 @@ def combined_kd_loss(
     listwise_kd_weight: float = 0.2,
     contrastive_weight: float = 0.2,
     tau: float = 0.05,
+    contrastive_scores: jnp.ndarray | None = None,
+    contrastive_mask: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Weighted 3-loss combination; temperature touches Margin-MSE and
     Listwise but NOT the contrastive term (reference: src/kd/losses.py:233-252).
     Returns the reference's dict keys
-    {loss, margin_mse, listwise_kd, contrastive, temperature}."""
+    {loss, margin_mse, listwise_kd, contrastive, temperature}.
+
+    ``contrastive_scores``/``contrastive_mask``: optional WIDER score matrix
+    for the InfoNCE term only (positive still at column 0) — the trainer
+    passes the in-batch-negatives expansion here
+    (config ``loss.in_batch_negatives``); the distillation terms always see
+    the per-query candidate scores, since teacher scores exist only for a
+    query's own candidates."""
     mm = margin_mse_loss(student_scores, teacher_scores, mask, temperature)
     lw = listwise_kd_loss(student_scores, teacher_scores, mask, temperature)
-    ct = contrastive_loss(student_scores, mask, tau)
+    ct_s = student_scores if contrastive_scores is None else contrastive_scores
+    ct_m = mask if contrastive_scores is None else contrastive_mask
+    ct = contrastive_loss(ct_s, ct_m, tau)
     total = margin_mse_weight * mm + listwise_kd_weight * lw + contrastive_weight * ct
     return {
         "loss": total,

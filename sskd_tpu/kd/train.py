@@ -120,6 +120,30 @@ class KDTrainer:
                 temp = temperature_at(
                     progress, loss_cfg.temperature_start, loss_cfg.temperature_end
                 )
+                ct_scores = ct_mask = None
+                if loss_cfg.in_batch_negatives:
+                    # widen the InfoNCE denominator with every OTHER
+                    # query's docs: one [B, B*N] matmul on embeddings the
+                    # step already computed. Own docs are masked out of
+                    # the extension (they already occupy the first N
+                    # columns, positive at 0); padded docs stay invalid.
+                    # A batch-tail padding ROW (no valid own docs) must
+                    # not gain extension columns either: its masked col-0
+                    # "positive" would contribute -_NEG/B to the loss (a
+                    # measured 1e9/B-scale constant offset that swamps the
+                    # real gradient signal).
+                    valid = batch["doc_valid"].astype(jnp.float32)
+                    all_s = jnp.einsum(
+                        "bh,mh->bm", q_emb, d_emb.reshape(B * N, -1)
+                    )
+                    own = (
+                        jnp.arange(B * N)[None, :] // N
+                        == jnp.arange(B)[:, None]
+                    )
+                    row_live = jnp.max(valid, axis=1, keepdims=True)
+                    others = valid.reshape(1, B * N) * (1.0 - own) * row_live
+                    ct_scores = jnp.concatenate([scores, all_s], axis=1)
+                    ct_mask = jnp.concatenate([valid, others], axis=1)
                 out = combined_kd_loss(
                     scores,
                     batch["teacher_scores"],
@@ -129,6 +153,8 @@ class KDTrainer:
                     listwise_kd_weight=loss_cfg.listwise_kd_weight,
                     contrastive_weight=loss_cfg.contrastive_weight,
                     tau=loss_cfg.contrastive_tau,
+                    contrastive_scores=ct_scores,
+                    contrastive_mask=ct_mask,
                 )
                 return out["loss"], out
 

@@ -176,3 +176,60 @@ class TestMasking:
         g = np.asarray(g)
         assert np.allclose(g[0, 3:], 0.0, atol=1e-7)
         assert np.allclose(g[1, 4:], 0.0, atol=1e-7)
+
+
+class TestInBatchNegatives:
+    """loss.in_batch_negatives: the InfoNCE term may see a WIDER score
+    matrix (own candidates + other queries' docs); the distillation terms
+    always see the per-query candidates."""
+
+    def test_contrastive_override_changes_only_infonce(self):
+        rng = np.random.default_rng(3)
+        s, t = _scores(rng, b=3, n=4)
+        wide = jnp.concatenate(
+            [s, jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))],
+            axis=1,
+        )
+        wide_mask = jnp.ones_like(wide)
+        base = combined_kd_loss(s, t, temperature=3.0)
+        over = combined_kd_loss(
+            s, t, temperature=3.0,
+            contrastive_scores=wide, contrastive_mask=wide_mask,
+        )
+        assert float(over["margin_mse"]) == pytest.approx(
+            float(base["margin_mse"]), rel=1e-6
+        )
+        assert float(over["listwise_kd"]) == pytest.approx(
+            float(base["listwise_kd"]), rel=1e-6
+        )
+        assert float(over["contrastive"]) == pytest.approx(
+            float(contrastive_loss(wide, wide_mask)), rel=1e-6
+        )
+
+    def test_masked_extension_is_identity(self):
+        # fully masking the extension columns must reproduce the plain
+        # per-query InfoNCE exactly
+        rng = np.random.default_rng(4)
+        s, t = _scores(rng, b=3, n=4)
+        wide = jnp.concatenate([s, jnp.full((3, 8), 7.7)], axis=1)
+        wide_mask = jnp.concatenate(
+            [jnp.ones((3, 4)), jnp.zeros((3, 8))], axis=1
+        )
+        over = combined_kd_loss(
+            s, t, contrastive_scores=wide, contrastive_mask=wide_mask
+        )
+        base = combined_kd_loss(s, t)
+        assert float(over["contrastive"]) == pytest.approx(
+            float(base["contrastive"]), rel=1e-6
+        )
+
+    def test_more_negatives_raise_the_bound(self):
+        # adding real (unmasked) in-batch negatives can only increase the
+        # InfoNCE loss: the softmax denominator grows
+        rng = np.random.default_rng(5)
+        s, _ = _scores(rng, b=3, n=4)
+        wide = jnp.concatenate(
+            [s, jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))],
+            axis=1,
+        )
+        assert float(contrastive_loss(wide)) > float(contrastive_loss(s))
