@@ -17,10 +17,11 @@ the index) so cells are contiguous in HBM and a cell DMA is one
 contiguous block.
 
 The partitioner is a quota-balanced recursive bisection: at each node,
-estimate the dominant separation direction with a 2-means step, sort the
-node's rows along it, and split at the exact row quota of the left
-subtree. Leaves get exactly ``rows_per_cell`` rows (the final leaf takes
-the remainder; the global tail is padded and masked by ``valid_n``).
+estimate the dominant separation direction with a 2-means step, then
+`argpartition` the node's rows along it at the exact row quota of the
+left subtree (rank order inside each half is refined by deeper levels).
+Leaves get exactly ``rows_per_cell`` rows (the final leaf takes the
+remainder; the global tail is padded and masked by ``valid_n``).
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def auto_cells(n_rows: int, target_rows_per_cell: int = 0) -> tuple[int, int]:
 
 
 # direction estimation runs on a bounded subsample: the split only needs a
-# statistically stable separation axis (the ORDERING over all rows still
+# statistically stable separation axis (the PARTITION over all rows still
 # uses every row), and full-node means/gathers dominated 10M-row builds
 _DIRECTION_SAMPLE = 65536
 
@@ -97,8 +98,24 @@ def build_clusters(
       centroids: f32 [n_cells, D] — L2-normalized cell means (so centroid
         scoring is the same cosine the row sweep uses).
     """
-    x = np.asarray(embeddings, dtype=np.float32)
-    n = x.shape[0]
+    # PERMUTATION-ONLY scheme: x is never copied or reordered — only the
+    # int64 `perm` array moves. The round-2 builder threaded index arrays
+    # through a recursion where every node paid TWO full fancy-gathers of
+    # the embedding matrix (x[indices] for the projection and again via
+    # indices[order]) plus an O(R log R) full argsort — a 10M x 384 build
+    # took ~19 min single-core. Worse, on this class of VM *first-touch*
+    # page faults on fresh large allocations run at ~10-50 MB/s (measured:
+    # a 768 MB np.take into a fresh buffer cost 128 s; the same take into
+    # warm pages, 1.5 s), so every materialized gather/copy of the corpus
+    # is a catastrophe. Here the corpus is read-only: per node, the split
+    # direction comes from a bounded subsample and the full-node projection
+    # is computed by CHUNKED gathers into one small preallocated buffer
+    # (second-touch speed), then `argpartition` (O(R), exact at the quota —
+    # rank order inside each half is refined by deeper levels) reorders
+    # only `perm`. Measured: 10M x 384 build 19 min -> ~2 min (BENCH
+    # detail `build_cluster_s`).
+    x = np.ascontiguousarray(embeddings, dtype=np.float32)
+    n, dim = x.shape
     if n_cells * rows_per_cell < n:
         raise ValueError("n_cells * rows_per_cell must cover all rows")
     rng = np.random.default_rng(seed)
@@ -114,46 +131,56 @@ def build_clusters(
             quotas.append(take)
             left -= take
         quotas += [0] * (n_cells - len(quotas))
+    qprefix = np.concatenate([[0], np.cumsum(quotas)])  # row offset of cell i
 
-    out: list[np.ndarray] = [None] * n_cells  # type: ignore[list-item]
+    perm = np.arange(n, dtype=np.int64)
+    chunk = _DIRECTION_SAMPLE
+    rowbuf = np.empty((min(chunk, n), dim), np.float32)  # reused gather target
+    projbuf = np.empty(n, np.float32)  # per-level projections (nodes disjoint)
 
-    def bisect(indices: np.ndarray, cell_lo: int, cell_hi: int) -> None:
-        n_node_cells = cell_hi - cell_lo
-        if n_node_cells == 1:
-            out[cell_lo] = indices
-            return
-        mid = cell_lo + n_node_cells // 2
-        left_quota = sum(quotas[cell_lo:mid])
-        if left_quota == 0 or left_quota == len(indices):
-            # degenerate quota (empty trailing cells) — split positionally
-            out_idx = indices
-            bisect(out_idx[:left_quota], cell_lo, mid)
-            bisect(out_idx[left_quota:], mid, cell_hi)
-            return
-        # direction from a bounded subsample (the ordering below still uses
-        # every row); one gathered copy per node, not two
-        if len(indices) > _DIRECTION_SAMPLE:
-            sub_idx = rng.choice(indices, _DIRECTION_SAMPLE, replace=False)
-            d = _split_direction(x[sub_idx], rng)
-        else:
-            d = _split_direction(x[indices], rng)
-        order = np.argsort(x[indices] @ d, kind="stable")
-        ordered = indices[order]
-        bisect(ordered[:left_quota], cell_lo, mid)
-        bisect(ordered[left_quota:], mid, cell_hi)
+    def _node_proj(seg_idx: np.ndarray, d: np.ndarray, lo: int) -> None:
+        for off in range(0, len(seg_idx), chunk):
+            m = min(chunk, len(seg_idx) - off)
+            np.take(x, seg_idx[off : off + m], axis=0, out=rowbuf[:m])
+            np.dot(rowbuf[:m], d, out=projbuf[lo + off : lo + off + m])
 
-    bisect(np.arange(n, dtype=np.int64), 0, n_cells)
+    # level-synchronous worklist of (row_lo, row_hi, cell_lo, cell_hi)
+    nodes: list[tuple[int, int, int, int]] = [(0, n, 0, n_cells)]
+    while nodes:
+        nxt: list[tuple[int, int, int, int]] = []
+        for lo, hi, clo, chi in nodes:
+            if chi - clo <= 1 or hi - lo == 0:
+                continue
+            mid = clo + (chi - clo) // 2
+            left_quota = int(qprefix[mid] - qprefix[clo])
+            if 0 < left_quota < hi - lo:
+                seg_idx = perm[lo:hi]
+                n_seg = hi - lo
+                # with-replacement integer sampling: statistically
+                # equivalent for a mean-direction estimate and O(sample)
+                # instead of O(node) (choice(replace=False) permutes the
+                # whole node)
+                m = min(n_seg, _DIRECTION_SAMPLE)
+                sub = seg_idx if n_seg <= m else seg_idx[rng.integers(0, n_seg, m)]
+                np.take(x, sub, axis=0, out=rowbuf[:m])
+                d = _split_direction(rowbuf[:m], rng)
+                _node_proj(seg_idx, d, lo)
+                order = np.argpartition(projbuf[lo:hi], left_quota - 1)
+                perm[lo:hi] = seg_idx[order]
+            # degenerate quota (empty trailing cells): split positionally
+            nxt.append((lo, lo + left_quota, clo, mid))
+            nxt.append((lo + left_quota, hi, mid, chi))
+        nodes = nxt
 
-    perm = np.concatenate([c for c in out if c is not None and len(c)])
-    if perm.shape[0] != n:
-        raise AssertionError("partition lost rows")
-
-    centroids = np.zeros((n_cells, x.shape[1]), np.float32)
-    pos = 0
+    centroids = np.zeros((n_cells, dim), np.float32)
     for i, q in enumerate(quotas):
         if q > 0:
-            centroids[i] = x[perm[pos : pos + q]].mean(axis=0)
-            pos += q
+            pos = int(qprefix[i])
+            for off in range(0, q, chunk):
+                m = min(chunk, q - off)
+                np.take(x, perm[pos + off : pos + off + m], axis=0, out=rowbuf[:m])
+                centroids[i] += rowbuf[:m].sum(axis=0)
+            centroids[i] /= q
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
     centroids = centroids / np.maximum(norms, 1e-12)
     logger.info(
