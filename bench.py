@@ -756,8 +756,11 @@ def main() -> None:
 
         # distinct rng per dispatch: identical repeated dispatches are
         # served from the tunnel's result cache (see fwd_slope_ms);
-        # n is traced — one executable for both measurement points
-        rng_key = jax.random.PRNGKey(7)
+        # n is traced — one executable for both measurement points.
+        # rbg key = the trainer's default (TrainingConfig.rng_impl):
+        # hardware RngBitGenerator dropout bits, 473.6 -> 429.3 ms/step
+        # vs threefry at this exact shape
+        rng_key = jax.random.key(7, impl="rbg")
         float(train_chained(eparams, opt_state, kd_batch,
                             jax.random.fold_in(rng_key, next(salt_src)),
                             jnp.int32(1)))

@@ -98,6 +98,13 @@ class TrainingConfig(BaseModel):
     # layer's activations for backward exceeds v5e HBM; remat trades ~1/3
     # more FLOPs for O(sqrt(layers)) activation memory
     remat: bool = True
+    # PRNG implementation for the per-step dropout keys. "rbg" drives the
+    # TPU's hardware RngBitGenerator instead of computing threefry2x32 on
+    # the VPU: measured 473.6 -> 429.3 ms/step at e5-small bench shapes
+    # (B=32, N=8, L=192, v5e) with identical statistical behavior. Dropout
+    # masks carry no reproducibility contract across impls; "threefry2x32"
+    # restores the JAX default if bit-exact cross-backend replay matters.
+    rng_impl: Literal["rbg", "unsafe_rbg", "threefry2x32"] = "rbg"
     seed: int = 42
     output_dir: str = "artifacts/models/kd_student"
     resume: bool = True

@@ -311,7 +311,10 @@ class KDTrainer:
             )
 
         history: list[dict] = []
-        dropout_rng = jax.random.PRNGKey(cfg.seed)
+        # typed key with the configured impl: "rbg" uses the TPU hardware
+        # RngBitGenerator for dropout bits (473.6 -> 429.3 ms/step at bench
+        # shapes vs threefry-on-VPU; see TrainingConfig.rng_impl)
+        dropout_rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         epochs_without_improvement = 0
         refresh_every = self.settings.mining.ance_refresh_every_n_steps
         last_refresh_step = global_step

@@ -131,23 +131,51 @@ class SelfAttention(nn.Module):
         from sskd_tpu.ops.attention import scaled_dot_attention
 
         if not deterministic and cfg.attention_dropout > 0.0:
-            # Training path: materialized-probs attention so dropout can hit
-            # the attention probabilities (HF BERT semantics; the reference
-            # trained with dropout active, reference: src/kd/train.py:127).
-            # The flash kernel is inference-only and never sees dropout.
-            d_head = q.shape[-1]
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
-            scores = scores + attn_bias.astype(scores.dtype)
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=False)
-            ctx = jnp.einsum(
-                "bhqk,bhkd->bhqd",
-                probs.astype(v.dtype),
-                v,
-                preferred_element_type=jnp.float32,
-            ).astype(v.dtype)
+            # Training path: dropout must hit the attention PROBABILITIES
+            # (HF BERT semantics; the reference trained with dropout active,
+            # reference: src/kd/train.py:127).
+            import os as _os
+
+            if jax.default_backend() == "tpu" and _os.environ.get(
+                "SSKD_FUSED_DROPOUT_ATTN", "1"
+            ) == "1":
+                # Fused Pallas kernel: probs + dropout mask never leave
+                # VMEM, mask regenerated in the backward from the same seed
+                # (ops/attention.py) — 429.3 -> ~255 ms/step at KD bench
+                # shapes vs the materialized path below.
+                from sskd_tpu.ops.attention import dropout_attention
+
+                seed = jax.random.randint(
+                    self.make_rng("dropout"),
+                    (),
+                    0,
+                    jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+                ctx = dropout_attention(
+                    q,
+                    k,
+                    v,
+                    attn_bias[:, 0, 0, :],
+                    cfg.attention_dropout,
+                    seed,
+                ).astype(v.dtype)
+            else:
+                # Materialized-probs XLA fallback (CPU tests / escape hatch
+                # SSKD_FUSED_DROPOUT_ATTN=0).
+                d_head = q.shape[-1]
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+                scores = scores + attn_bias.astype(scores.dtype)
+                probs = jax.nn.softmax(scores, axis=-1)
+                probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=False)
+                ctx = jnp.einsum(
+                    "bhqk,bhkd->bhqd",
+                    probs.astype(v.dtype),
+                    v,
+                    preferred_element_type=jnp.float32,
+                ).astype(v.dtype)
         else:
             ctx = scaled_dot_attention(q, k, v, attn_bias)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)

@@ -116,6 +116,244 @@ def flash_attention(
     return out.reshape(B, h, L, d)
 
 
+# ---------------------------------------------------------------------------
+# Fused TRAINING attention: softmax + dropout + PV in one kernel, fwd and bwd
+# ---------------------------------------------------------------------------
+#
+# The training path needs dropout ON THE ATTENTION PROBABILITIES (HF BERT
+# semantics; the reference trained with torch train-mode dropout,
+# reference: src/kd/train.py:127). In plain XLA that forces the [B, h, L, L]
+# f32 probability tensor to materialize in HBM — measured 429.3 -> 254.9
+# ms/step at KD bench shapes (B=32, N=8, L=192, v5e) when attention dropout
+# is turned off, i.e. ~40% of the whole train step was probs traffic. At the
+# encoder's sequence lengths (<= 512) one (batch, head) slice of scores fits
+# VMEM whole, so this kernel pair keeps scores/probs/dropout mask entirely
+# on-chip: the forward generates the keep-mask with the TPU's hardware PRNG
+# (pltpu.prng_random_bits), and the backward RE-GENERATES the identical mask
+# from the same (seed, program_id) instead of ever storing it.
+#
+# The per-(b, h) PRNG stream is seeded (seed, bh): re-seeding per program
+# makes the mask independent of grid execution order, and identical between
+# the forward and backward kernels (and across jax.checkpoint replays, which
+# re-run the forward with the same seed operand).
+#
+# CPU/interpret has no prng_seed lowering, so the kernel is TPU-only; the
+# encoder falls back to the materialized-probs XLA path elsewhere. p == 0
+# statically skips the PRNG, which lets CI exercise both kernels (forward
+# math + custom VJP) under interpret mode against autodiff of
+# xla_attention; the p > 0 mask/grad parity test needs a real TPU
+# (tests/test_attention.py::test_fused_dropout_attention_tpu).
+
+
+
+def _uniform_bits(shape):
+    """Uniform [0, 1) f32 from the per-core PRNG. prng_random_bits returns
+    SIGNED int32 on this lowering — an arithmetic >> keeps the sign and
+    halves+skews the distribution (observed keep-rate 0.25 for p=0.25
+    instead of 0.75), so bitcast to uint32 BEFORE the shift; the top 24
+    bits convert exactly to f32."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic has no uint32 -> f32 cast; after >> 8 the value fits 24 bits,
+    # so a bitcast to int32 is value-preserving and int32 -> f32 is exact
+    hi24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return hi24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _dropattn_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, p: float, sm_scale: float
+):
+    """One (batch*head) program: ctx = dropout(softmax(qk^T + bias)) @ v."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale + bias_ref[0]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        u = _uniform_bits(probs.shape)
+        probs = jnp.where(u >= p, probs * (1.0 / (1.0 - p)), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _dropattn_bwd_kernel(
+    seed_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    p: float,
+    sm_scale: float,
+):
+    """Recompute probs + the IDENTICAL keep-mask, then the softmax VJP."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale + bias_ref[0]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        keep = _uniform_bits(probs.shape) >= p
+        inv = 1.0 / (1.0 - p)
+        pd = jnp.where(keep, probs * inv, 0.0)
+    else:
+        pd = probs
+    # dv = pd^T g ; dprobs = (g v^T) through the dropout mask
+    dv_ref[0] = jax.lax.dot_general(
+        pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dpd = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if p > 0.0:
+        dprobs = jnp.where(keep, dpd * inv, 0.0)
+    else:
+        dprobs = dpd
+    # softmax VJP (rowwise): ds = probs * (dprobs - <dprobs, probs>)
+    ds = probs * (dprobs - jnp.sum(dprobs * probs, axis=1, keepdims=True))
+    ds = ds * sm_scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _dropattn_specs(B, h, L, d):
+    qkv = pl.BlockSpec((1, L, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    # bias rides as [B, 1, L]: a (1, 1, L) block keeps the trailing-two-dims
+    # tile rule satisfied (block == array dims) while indexing per batch
+    bias = pl.BlockSpec(
+        (1, 1, L), lambda bh, _h=h: (bh // _h, 0, 0), memory_space=pltpu.VMEM
+    )
+    return qkv, bias
+
+
+def _dropattn_fwd_call(p, interpret, q, k, v, bias, seed):
+    B, h, L, d = q.shape
+    qkv_spec, bias_spec = _dropattn_specs(B, h, L, d)
+    out = pl.pallas_call(
+        functools.partial(_dropattn_fwd_kernel, p=p, sm_scale=1.0 / (d**0.5)),
+        grid=(B * h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B * h, L, d), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(
+        seed.reshape(1),
+        q.reshape(B * h, L, d),
+        k.reshape(B * h, L, d),
+        v.reshape(B * h, L, d),
+        bias.reshape(B, 1, L),
+    )
+    return out.reshape(B, h, L, d)
+
+
+def _dropattn_bwd_call(p, interpret, q, k, v, bias, seed, g):
+    B, h, L, d = q.shape
+    qkv_spec, bias_spec = _dropattn_specs(B, h, L, d)
+    shp = jax.ShapeDtypeStruct((B * h, L, d), jnp.float32)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_dropattn_bwd_kernel, p=p, sm_scale=1.0 / (d**0.5)),
+        grid=(B * h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            bias_spec,
+            qkv_spec,
+        ],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(
+        seed.reshape(1),
+        q.reshape(B * h, L, d),
+        k.reshape(B * h, L, d),
+        v.reshape(B * h, L, d),
+        bias.reshape(B, 1, L),
+        g.reshape(B * h, L, d),
+    )
+    return (
+        dq.reshape(B, h, L, d),
+        dk.reshape(B, h, L, d),
+        dv.reshape(B, h, L, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_dropout_attention(p, interpret, q, k, v, bias, seed):
+    return _dropattn_fwd_call(p, interpret, q, k, v, bias, seed)
+
+
+def _fda_fwd(p, interpret, q, k, v, bias, seed):
+    return _dropattn_fwd_call(p, interpret, q, k, v, bias, seed), (q, k, v, bias, seed)
+
+
+def _fda_bwd(p, interpret, res, g):
+    import numpy as np
+
+    q, k, v, bias, seed = res
+    dq, dk, dv = _dropattn_bwd_call(p, interpret, q, k, v, bias, seed, g)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(bias),  # mask bias: constant input, no grad path
+        np.zeros(seed.shape, jax.dtypes.float0),
+    )
+
+
+_fused_dropout_attention.defvjp(_fda_fwd, _fda_bwd)
+
+
+def dropout_attention(q, k, v, bias, p: float, seed, interpret: bool | None = None):
+    """Fused training attention: softmax(qk^T/sqrt(d) + bias) with dropout
+    probability ``p`` applied to the probabilities, times V — probs and the
+    dropout mask never leave VMEM (429.3 -> ~255 ms/step at KD bench shapes
+    vs the materialized XLA path; see module comment).
+
+    q,k,v: [B, h, L, d]; bias: [B, L] additive f32 over KEY positions
+    (0 attend / large-negative pad); seed: int32 scalar array — the same
+    seed reproduces the same mask (backward and jax.checkpoint replays rely
+    on this). Differentiable w.r.t. q/k/v via a custom VJP whose backward
+    kernel regenerates the mask on-chip.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and p > 0.0:
+        raise NotImplementedError(
+            "in-kernel PRNG has no interpret-mode lowering; p > 0 requires "
+            "a real TPU (the encoder uses the XLA materialized path off-TPU)"
+        )
+    bias = jax.lax.stop_gradient(bias.astype(jnp.float32))
+    seed = jnp.asarray(seed, jnp.int32)
+    return _fused_dropout_attention(float(p), bool(interpret), q, k, v, bias, seed)
+
+
 def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
     """Dispatching attention: Pallas flash on TPU when enabled, XLA otherwise.
 

@@ -55,6 +55,39 @@ def test_early_stopping_metric_loss_ignores_dev(tmp_path):
     assert result["best_metric"] <= 0.0  # -train_loss is negative
 
 
+def test_rng_impl_reaches_dropout_keys(tmp_path, monkeypatch):
+    """training.rng_impl selects the PRNG implementation for the per-step
+    dropout keys (rbg = TPU hardware RngBitGenerator, the measured-faster
+    default; threefry2x32 = the cross-backend-reproducible JAX default)."""
+    from sskd_tpu.models import BertConfig, StudentModel
+    from sskd_tpu.tokenization import WordPieceTokenizer
+    from tests.test_train import _make_samples
+
+    import jax
+
+    seen: list[str] = []
+    real_key = jax.random.key
+
+    def spy(seed, *, impl=None):
+        seen.append(impl)
+        return real_key(seed, impl=impl)
+
+    monkeypatch.setattr(jax.random, "key", spy)
+    tok = WordPieceTokenizer.build_from_corpus(["alpha beta gamma delta"], vocab_size=256)
+    student = StudentModel("t3", config=BertConfig.tiny(vocab_size=tok.vocab_size), tokenizer=tok)
+    settings = Settings.model_validate(
+        {"training": {"epochs": 1, "batch_size": 4, "rng_impl": "threefry2x32",
+                      "num_docs_per_query": 4, "early_stopping_patience": 5}}
+    )
+    KDTrainer(student, settings).train(
+        _make_samples(8), output_dir=tmp_path / "r3", query_len=16, doc_len=16
+    )
+    assert "threefry2x32" in seen
+
+    with pytest.raises(Exception):
+        Settings.model_validate({"training": {"rng_impl": "mersenne"}})
+
+
 def test_search_max_k_enforced(monkeypatch, fake_student, temp_index_dir):
     monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
     settings = Settings.model_validate({"search": {"max_k": 5}})
