@@ -21,16 +21,27 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export SSKD_PLATFORM=${SSKD_PLATFORM:-cpu}
 
-SAMPLES=${SAMPLES:-200}
+# Calibrated (round 3) so the acceptance gate DISCRIMINATES: teacher lands
+# ~0.90 nDCG@10 (not 1.0), KD ~0.96x teacher — passing, with headroom to
+# fail if distillation breaks. Calibration record: 200 samples saturated
+# every arm; 400 samples + see-also tails gave KD/teacher 0.70-0.87 (the
+# tails put query vocabulary into irrelevant docs, which a shared-embedding
+# bi-encoder cannot fully gate); 600 samples, no tails, in-batch negatives,
+# batch 16, lr 2e-3, 12 epochs measured teacher 0.898 / KD 0.870 = 0.968.
+SAMPLES=${SAMPLES:-600}
 TEACHER_STEPS=${TEACHER_STEPS:-2000}
 TEACHER_LR=${TEACHER_LR:-1e-3}
 EPOCHS=${EPOCHS:-12}
-BATCH=${BATCH:-8}
+BATCH=${BATCH:-16}
 STAGE=${STAGE:-2}
 WORK=${WORK:-artifacts/demo}
 # tiny demo model + few steps need a demo-scale learning rate; the
 # production default (2e-5) moves weights invisibly in a few epochs
-export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.003}
+export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.002}
+export SEMANTIC_KD_TRAINING__EVAL_STEPS=${EVAL_STEPS:-16}
+export SEMANTIC_KD_TRAINING__EARLY_STOPPING_PATIENCE=${PATIENCE:-12}
+# widen InfoNCE with cross-query in-batch negatives (loss.in_batch_negatives)
+export SEMANTIC_KD_LOSS__IN_BATCH_NEGATIVES=${IBN:-1}
 # keep every teacher-scored candidate as a soft-labeled negative: filtering
 # at the production threshold (0.6) throws away exactly the graded scores
 # the KD losses distill from

@@ -107,10 +107,14 @@ def _doc_text(
         if len(echo)
         else ""
     )
-    tail_pool = [c for c in range(n_concepts) if c not in concept_ids]
-    tail_ids = rng.choice(tail_pool, size=see_also, replace=False)
-    tail = " ".join(_QUERY_WORDS[c] for c in tail_ids)
-    return f"{template.format(t=words)}.{echo_part} {filler}. see also {tail}."
+    if see_also > 0:
+        tail_pool = [c for c in range(n_concepts) if c not in concept_ids]
+        tail_ids = rng.choice(tail_pool, size=see_also, replace=False)
+        tail = " ".join(_QUERY_WORDS[c] for c in tail_ids)
+        tail_part = f" see also {tail}."
+    else:
+        tail_part = ""
+    return f"{template.format(t=words)}.{echo_part} {filler}.{tail_part}"
 
 
 def generate_demo_dataset(
