@@ -166,4 +166,15 @@ def test_search_route_concurrent_batched(monkeypatch, fake_student, temp_index_d
         assert len(results) == 10
         assert all(r["total_results"] == 2 for r in results)
     finally:
-        loop.call_soon_threadsafe(loop.stop)
+        # graceful drain (a bare loop.stop() mid-serve raises RuntimeError
+        # in the server thread — the test_http_server teardown pattern)
+        try:
+            fut = asyncio.run_coroutine_threadsafe(
+                server.shutdown(drain_timeout=1.0), loop
+            )
+            fut.result(timeout=5)
+        except Exception:
+            loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)
+        if not loop.is_closed():
+            loop.close()
