@@ -17,13 +17,32 @@
 #include <cstddef>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
 namespace {
 
+// Heterogeneous lookup (C++20): find(string_view) without materializing a
+// std::string. The greedy matcher probes O(word_len) candidate pieces per
+// word position; with plain std::string keys every probe paid a substr +
+// "##"-concat allocation — measured as ~80% of tokenize time (602 docs/s).
+struct SvHash {
+  using is_transparent = void;
+  size_t operator()(std::string_view sv) const noexcept {
+    return std::hash<std::string_view>{}(sv);
+  }
+  size_t operator()(const std::string& s) const noexcept {
+    return std::hash<std::string_view>{}(s);
+  }
+};
+using Table =
+    std::unordered_map<std::string, int, SvHash, std::equal_to<>>;
+
 struct Vocab {
-  std::unordered_map<std::string, int> table;
+  Table head;  // pieces valid at word start
+  Table cont;  // continuation pieces, stored WITHOUT their "##" prefix
+  Table punct;  // single-char punctuation fast table (subset of head)
   int unk_id = 1;
   size_t max_token_chars = 100;
 };
@@ -47,18 +66,18 @@ inline char to_lower(char c) {
 bool wordpiece(const Vocab& vocab, const std::string& word, int word_start,
                std::vector<int>* ids, std::vector<int>* offsets) {
   if (word.size() > vocab.max_token_chars) return false;
+  const std::string_view w(word);
   size_t start = 0;
   std::vector<int> tmp_ids;
   std::vector<int> tmp_offsets;
-  while (start < word.size()) {
-    size_t end = word.size();
+  while (start < w.size()) {
+    const Table& table = (start == 0) ? vocab.head : vocab.cont;
+    size_t end = w.size();
     int found = -1;
     size_t found_end = start;
     while (start < end) {
-      std::string piece = word.substr(start, end - start);
-      if (start > 0) piece = "##" + piece;
-      auto it = vocab.table.find(piece);
-      if (it != vocab.table.end()) {
+      auto it = table.find(w.substr(start, end - start));
+      if (it != table.end()) {
         found = it->second;
         found_end = end;
         break;
@@ -90,7 +109,18 @@ void* wp_create(const char* vocab_data, size_t len, int unk_id) {
   while (pos <= data.size()) {
     size_t nl = data.find('\n', pos);
     if (nl == std::string::npos) nl = data.size();
-    if (nl > pos) vocab->table.emplace(data.substr(pos, nl - pos), id);
+    if (nl > pos) {
+      std::string tok = data.substr(pos, nl - pos);
+      if (tok.size() > 2 && tok[0] == '#' && tok[1] == '#') {
+        vocab->cont.emplace(tok.substr(2), id);
+      } else {
+        vocab->head.emplace(tok, id);
+        if (tok.size() == 1 &&
+            is_ascii_punct(static_cast<unsigned char>(tok[0]))) {
+          vocab->punct.emplace(tok, id);
+        }
+      }
+    }
     ++id;
     if (nl >= data.size()) break;
     pos = nl + 1;
@@ -132,9 +162,9 @@ int wp_tokenize(void* handle, const char* text, size_t len, int lowercase,
     }
     if (is_ascii_punct(c)) {
       flush(static_cast<int>(i));
-      std::string p(1, lowercase ? to_lower(text[i]) : text[i]);
-      auto it = vocab.table.find(p);
-      ids.push_back(it != vocab.table.end() ? it->second : vocab.unk_id);
+      const char pc = lowercase ? to_lower(text[i]) : text[i];
+      auto it = vocab.punct.find(std::string_view(&pc, 1));
+      ids.push_back(it != vocab.punct.end() ? it->second : vocab.unk_id);
       offsets.push_back(static_cast<int>(i));
       offsets.push_back(static_cast<int>(i) + 1);
       continue;

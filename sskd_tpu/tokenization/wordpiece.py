@@ -300,27 +300,44 @@ class WordPieceTokenizer:
         attention_mask = np.zeros((batch, length), dtype=np.int32)
         token_type_ids = np.zeros((batch, length), dtype=np.int32)
 
+        # hot path writes token ids straight from the native scratch view
+        # into the output rows — no per-token python lists (3x on
+        # whole-batch doc tokenization, see NativeWordPiece.tokenize_ids_view)
+        native = self._native_core()
+
+        def ids_of(text):
+            if native is not None and text.isascii():
+                return native.tokenize_ids_view(text)
+            return np.asarray(self.tokenize(text), dtype=np.int32)
+
         for bi, text in enumerate(texts):
-            a = self.tokenize(text)
             if text_pairs is None:
-                a = a[: length - 2]
-                seq = [self.cls_id] + a + [self.sep_id]
-                types = [0] * len(seq)
+                a = ids_of(text)[: length - 2]
+                n = len(a) + 2
+                input_ids[bi, 0] = self.cls_id
+                input_ids[bi, 1 : n - 1] = a
+                input_ids[bi, n - 1] = self.sep_id
             else:
-                b = self.tokenize(text_pairs[bi])
+                # the second ids_of() reuses the scratch buffer — copy a
+                a = ids_of(text).copy()
+                b = ids_of(text_pairs[bi])
                 # budget: [CLS] a [SEP] b [SEP]; truncate the longer first
                 budget = length - 3
-                while len(a) + len(b) > budget:
-                    if len(a) >= len(b):
-                        a = a[:-1]
+                la, lb = len(a), len(b)
+                while la + lb > budget:
+                    if la >= lb:
+                        la -= 1
                     else:
-                        b = b[:-1]
-                seq = [self.cls_id] + a + [self.sep_id] + b + [self.sep_id]
-                types = [0] * (len(a) + 2) + [1] * (len(b) + 1)
-            n = len(seq)
-            input_ids[bi, :n] = seq
+                        lb -= 1
+                a, b = a[:la], b[:lb]
+                n = la + lb + 3
+                input_ids[bi, 0] = self.cls_id
+                input_ids[bi, 1 : 1 + la] = a
+                input_ids[bi, 1 + la] = self.sep_id
+                input_ids[bi, 2 + la : 2 + la + lb] = b
+                input_ids[bi, n - 1] = self.sep_id
+                token_type_ids[bi, 2 + la : n] = 1
             attention_mask[bi, :n] = 1
-            token_type_ids[bi, :n] = types
         return {
             "input_ids": input_ids,
             "attention_mask": attention_mask,
