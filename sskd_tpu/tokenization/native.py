@@ -131,7 +131,8 @@ class NativeWordPiece:
         per-token list/tuple materialization measured 3x on whole-batch
         tokenization (list path: ~140 ms per 256x160-word docs; the C core
         itself is ~30 ms)."""
-        return self._tls.ids_buf[: self._call(text)]
+        n = self._call(text)  # allocates this thread's buffers first
+        return self._tls.ids_buf[:n]
 
 
 def native_available() -> bool:
