@@ -79,3 +79,35 @@ def test_offsets_slice_source(tok):
         piece = tok.inv_vocab[tid]
         if not piece.startswith("##") and piece not in ("[UNK]",):
             assert text[s:e].lower() == piece
+
+
+def test_encode_batch_from_fresh_threads():
+    """Thread-local scratch buffers: a thread's FIRST ids-only tokenize
+    must allocate before indexing (regression: the buffer attribute was
+    evaluated before the call that creates it); concurrent encodes from
+    executor threads (the serving path) must not race."""
+    import threading
+
+    from sskd_tpu.tokenization import get_default_tokenizer
+
+    tok = get_default_tokenizer()
+    ref = tok.encode_batch(["alpha bravo charlie delta"], max_length=16, pad_to=16)
+    out: dict[int, list] = {}
+    errs: list[Exception] = []
+
+    def worker(k):
+        try:
+            got = tok.encode_batch(
+                ["alpha bravo charlie delta"], max_length=16, pad_to=16
+            )
+            out[k] = got["input_ids"][0].tolist()
+        except Exception as e:  # pragma: no cover - the regression itself
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert all(v == ref["input_ids"][0].tolist() for v in out.values())
