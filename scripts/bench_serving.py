@@ -94,19 +94,25 @@ def main(argv=None) -> int:
     thread.start()
     _wait_ready(port)
 
-    # hot-load the index through the API (exercises the real path)
-    idx_dir = Path("artifacts/bench_serving_index")
+    # hot-load the index through the API (exercises the real path); the
+    # index is scratch — only the JSON report is a committed artifact
+    import tempfile
+
+    idx_dir = Path(tempfile.mkdtemp(prefix="bench_serving_")) / "index"
     builder.save(idx_dir)
     _post(port, "/index/load", {"index_dir": str(idx_dir)})
 
     # --- drive -------------------------------------------------------------
+    # every request textually DISTINCT: the tunnel serves repeated identical
+    # device computations from a result cache (see bench.py fwd_slope_ms),
+    # so cycling a small query set would underbill the encode stage
+    words = ["alpha", "bravo", "carbon", "delta", "ember", "falcon", "granite",
+             "harbor", "indigo", "jasper", "kettle", "lumen", "marble"]
+
     def hit(i):
+        q = f"benchmark {words[i % 13]} query {words[(i // 13) % 13]} number {i}"
         t0 = time.perf_counter()
-        body = _post(
-            port,
-            "/search",
-            {"query": f"benchmark query number {i % 13}", "k": args.k},
-        )
+        body = _post(port, "/search", {"query": q, "k": args.k})
         return (time.perf_counter() - t0) * 1000, body["total_results"]
 
     for i in range(8):  # warm compile buckets
