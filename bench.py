@@ -742,8 +742,8 @@ def main() -> None:
         # slope over an on-device multi-step loop: steps chain through
         # params/opt_state, so the device must execute all of them; the
         # t(n)-t(1) slope cancels dispatch + host overhead (a host-driven
-        # step-per-dispatch loop measured 467 ms/step under CPU
-        # contention for what is really a ~X ms step)
+        # step-per-dispatch loop overstates the step by the tunnel RTT
+        # under CPU contention)
         @jax.jit
         def train_chained(params, opt_state, batch, rng, n):
             def body(i, carry):
