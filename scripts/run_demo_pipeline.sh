@@ -49,6 +49,13 @@ export SEMANTIC_KD_MINING__TEACHER_CONFIDENCE_THRESHOLD=${TEACHER_CONF:-0.0}
 
 run() { python -m sskd_tpu.cli.main "$@"; }
 
+# fresh run state: stale mined caches / orbax checkpoints from a previous
+# generation of the dataset must not leak into this one (the pipeline also
+# validates the mined cache against the live corpus, but regenerated demo
+# data deserves a clean slate)
+rm -rf "$WORK/run_kd" "$WORK/run_contrastive" "$WORK/vanilla" "$WORK/teacher" \
+       "$WORK/data"
+
 echo "=== [1/7] demo data (train/validation/test) + prepare ==="
 run demo-data --out "$WORK/data/raw/demo" --samples "$SAMPLES" \
   --splits train=0.7,validation=0.15,test=0.15 > /dev/null

@@ -273,14 +273,33 @@ def run_train_pipeline(
 
     # [6/7] mining (with teacher-score cache) -------------------------------------
     cache_path = output_dir / f"mined_stage{stage}.json"
+    mined = None
     if cache_path.exists():
-        logger.info(f"[6/7] using cached mining results {cache_path}")
         from sskd_tpu.mining.miners import MinedNegatives
 
         with open(cache_path) as f:
             raw = json.load(f)
-        mined = [MinedNegatives(doc_ids=m["doc_ids"], scores=m["scores"]) for m in raw]
-    else:
+        cached = [
+            MinedNegatives(doc_ids=m["doc_ids"], scores=m["scores"]) for m in raw
+        ]
+        # STALENESS GUARD: the cache is keyed by path only, so a regenerated
+        # dataset (different samples / knobs) can leave negatives pointing at
+        # doc ids that no longer exist — which used to KeyError deep inside
+        # sample assembly. Validate every referenced id against the live
+        # corpus and the query count; re-mine on any mismatch.
+        ids_ok = len(cached) == len(queries) and all(
+            d in corpus for m in cached for d in m.doc_ids
+        )
+        if ids_ok:
+            logger.info(f"[6/7] using cached mining results {cache_path}")
+            mined = cached
+        else:
+            logger.warning(
+                f"[6/7] cached mining results {cache_path} are stale for the "
+                "current dataset (unknown doc ids or query-count mismatch) — "
+                "re-mining"
+            )
+    if mined is None:
         logger.info(f"[6/7] mining curriculum stage {stage}")
         mined = build_mining_curriculum(
             stage,
