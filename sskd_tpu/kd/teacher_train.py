@@ -213,7 +213,9 @@ class TeacherTrainer:
         params = self.teacher.params
         opt_state = tx.init(params)
         rng = np.random.default_rng(self.seed)
-        base_key = jax.random.PRNGKey(self.seed)
+        # rbg dropout keys: same hardware-PRNG choice as the KD trainer
+        # (TrainingConfig.rng_impl rationale)
+        base_key = jax.random.key(self.seed, impl="rbg")
         losses = []
         for step in range(steps):
             if n_pos_per_batch:
