@@ -243,6 +243,15 @@ def generate_demo_dataset(
         # computable for synthetic data, so emit TREC-style qrels keyed by
         # passage TEXT (ids are assigned later by corpus dedup); the eval
         # path prefers this sidecar (cli/pipeline.py load_eval_inputs).
+        # Eval splits only: nothing evaluates on train, and text-keyed
+        # qrels scale O(queries x matching docs x text len) — the train
+        # sidecar alone measured 49 MB at 600 samples.
+        if split == "train":
+            manifest["splits"][split] = {
+                "file": str(path),
+                "num_samples": len(split_rows),
+            }
+            continue
         doc_concepts: dict[str, tuple] = {}
         for row in split_rows:
             for text, meta in zip(
