@@ -58,12 +58,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_QPS = 100.0  # FAISS HNSW ~10ms/query, serving hot path (BASELINE.md)
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """Fail FAST if the device/tunnel is wedged. A dead remote-TPU relay
+    makes the first device op hang forever inside the plugin (observed
+    2026-08-17: the stdio relay died and every process blocked in an
+    uninterruptible poll) — probe from a SUBPROCESS with a timeout so the
+    bench emits an explicit error line instead of hanging to the driver's
+    timeout with empty output."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"
+    )
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     rows = int(os.environ.get("SSKD_BENCH_ROWS", 1_000_000))
     dim = int(os.environ.get("SSKD_BENCH_DIM", 384))
     batch = int(os.environ.get("SSKD_BENCH_BATCH", 1024))
     k = int(os.environ.get("SSKD_BENCH_K", 10))
     iters = int(os.environ.get("SSKD_BENCH_ITERS", 8))
+
+    if os.environ.get("SSKD_BENCH_SKIP_PROBE", "0") != "1" and not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "index_search_qps_chip",
+                    "value": 0.0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0.0,
+                    "error": "device unreachable (tunnel probe timed out); "
+                    "see artifacts/bench/bench_r03_interim.json for the last "
+                    "measured record",
+                }
+            )
+        )
+        return
 
     import jax
     import jax.numpy as jnp
