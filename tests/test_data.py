@@ -130,3 +130,22 @@ class TestIntegrity:
         df = df.drop(columns=["tokens"])
         df.to_parquet(pq, index=False)
         assert any("missing columns" in p for p in check_schema(pq))
+
+
+def test_demo_qrels_only_for_eval_splits(tmp_path):
+    """Cross-query qrels sidecars are emitted for eval splits only: nothing
+    evaluates on train, and the text-keyed sidecar is O(queries x matching
+    docs x text len) — 49 MB at 600 samples when it was written."""
+    from sskd_tpu.data.demo import generate_demo_dataset
+
+    manifest = generate_demo_dataset(
+        tmp_path,
+        num_samples=30,
+        splits=("train", "validation", "test"),
+        split_fractions=(0.7, 0.15, 0.15),
+    )
+    assert not (tmp_path / "train.qrels.jsonl").exists()
+    assert (tmp_path / "validation.qrels.jsonl").exists()
+    assert (tmp_path / "test.qrels.jsonl").exists()
+    assert "qrels_file" not in manifest["splits"]["train"]
+    assert "qrels_file" in manifest["splits"]["test"]
