@@ -35,6 +35,11 @@ EPOCHS=${EPOCHS:-12}
 BATCH=${BATCH:-16}
 STAGE=${STAGE:-2}
 WORK=${WORK:-artifacts/demo}
+# DEMO_GATE=report: print the gate verdict without failing the run — for
+# smoke-scale CI invocations (SAMPLES=48 EPOCHS=1) that exercise pipeline
+# mechanics; the calibrated gate needs the full default budget to pass
+DEMO_GATE=${DEMO_GATE:-enforce}
+export DEMO_GATE
 # tiny demo model + few steps need a demo-scale learning rate; the
 # production default (2e-5) moves weights invisibly in a few epochs
 export SEMANTIC_KD_TRAINING__LEARNING_RATE=${LR:-0.002}
@@ -130,7 +135,10 @@ lines += [
 report = "\n".join(lines)
 (work / "KD_REPORT.md").write_text(report)
 print(report)
-if not (ordering_ok and gate_ok):
+import os
+if os.environ.get("DEMO_GATE", "enforce") == "enforce" and not (
+    ordering_ok and gate_ok
+):
     sys.exit(1)
 EOF
 echo "report: $WORK/KD_REPORT.md"
