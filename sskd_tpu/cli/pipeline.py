@@ -95,7 +95,10 @@ def load_eval_inputs(raw_jsonl: str | Path, max_samples: int | None = None):
     q_map = {f"q{i}": q for i, q in enumerate(queries)}
     qrels = {f"q{i}": rels for i, rels in enumerate(graded)}
 
-    sidecar = raw_jsonl.with_name(raw_jsonl.name[: -len(".jsonl")] + ".qrels.jsonl")
+    # with_suffix replaces only the final extension, so this resolves for
+    # any input suffix (demo.jsonl -> demo.qrels.jsonl, demo -> demo.qrels.jsonl)
+    # instead of silently mangling non-.jsonl names.
+    sidecar = raw_jsonl.with_suffix(".qrels.jsonl")
     if sidecar.exists():
         by_qid: dict = {}
         with open(sidecar) as f:

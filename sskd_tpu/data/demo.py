@@ -127,7 +127,7 @@ def generate_demo_dataset(
     n_concepts: int = 16,
     concepts_per_query: int = 2,
     n_hard: int = 3,
-    see_also: int = 2,
+    see_also: int = 0,
 ) -> dict:
     """Write ``{split}.jsonl`` files + ``_manifest.json`` in the fetcher's
     MS MARCO layout and return the manifest dict
@@ -136,6 +136,11 @@ def generate_demo_dataset(
     Per query: 1 positive (grade 2), ``n_hard`` hard distractors sharing
     all-but-one concept (grade 1), rest random docs with <= 1 shared
     concept (grade 0). Default 200 x 10 passages = 2,000 unique docs.
+
+    ``see_also=0`` is the calibrated demo default (matches the CLI):
+    lexical tails put query vocabulary into irrelevant docs, which a
+    shared-embedding bi-encoder cannot fully gate — pass ``see_also=2``
+    explicitly for the trap-tail variant used by robustness tests.
     """
     rng = np.random.default_rng(seed)
     out = Path(output_dir)

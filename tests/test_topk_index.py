@@ -227,6 +227,23 @@ class TestIndexBuilder:
         with pytest.raises(IndexLoadError):
             IndexBuilder().load(out)
 
+    def test_refined_missing_refine_file_rejected(self, tmp_path):
+        """A deleted refine.npy is the same class of corrupt index as a
+        checksum mismatch: load() must fail loudly, not silently fall
+        back to the plain int8 sweep (which loses the advertised recall
+        margin)."""
+        rng = np.random.default_rng(24)
+        emb = _normed(rng, 300, 64)
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=16
+        )
+        b.build_from_arrays(emb, [str(i) for i in range(300)])
+        out = tmp_path / "idx_missing_refine"
+        b.save(out)
+        (out / "refine.npy").unlink()
+        with pytest.raises(IndexLoadError, match="refine.npy"):
+            IndexBuilder().load(out)
+
     def test_refined_k_exceeds_ntotal_sentinels(self):
         rng = np.random.default_rng(23)
         emb = _normed(rng, 6, 64)
