@@ -57,6 +57,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_QPS = 100.0  # FAISS HNSW ~10ms/query, serving hot path (BASELINE.md)
 
+# Peak specs per TPU generation: (bf16 TFLOP/s, int8 TOPS, HBM GB/s).
+# Public numbers: v5e 197/394/819, v5p 459/918/2765, v6e 918/1836/1640.
+# Keyed by substrings of jax's device_kind so the roofline follows the
+# actual chip behind the tunnel instead of assuming v5e (VERDICT r3 weak
+# #4: one r03 bf16 point computed to 104% of the ASSUMED v5e peak).
+_TPU_PEAKS = {
+    "v5 lite": (197.0, 394.0, 819.0),
+    "v5litepod": (197.0, 394.0, 819.0),
+    "v5e": (197.0, 394.0, 819.0),
+    "v5p": (459.0, 918.0, 2765.0),
+    "v5": (459.0, 918.0, 2765.0),  # bare "v5" after the lite probes
+    "v6e": (918.0, 1836.0, 1640.0),
+    "v6 lite": (918.0, 1836.0, 1640.0),
+    "v4": (275.0, 275.0, 1228.0),  # v4 has no int8 MXU mode
+}
+
+
+def _chip_peaks(device_kind: str):
+    dk = device_kind.lower()
+    for key, peaks in _TPU_PEAKS.items():
+        if key in dk:
+            return peaks, key
+    return _TPU_PEAKS["v5e"], "unknown->assumed v5e"
+
+
+def _roofline(
+    flops: float,
+    hbm_bytes: float,
+    ms: float,
+    peaks,
+    compute_kind: str = "bf16",
+) -> dict:
+    """Effective TFLOP/s + %-of-peak + HBM-bandwidth view for one measured
+    point. ``compute_kind`` picks the matching peak ('bf16' or 'int8' —
+    int8 matmuls run the MXU at 2x). Any point above 100% of peak is a
+    measurement error by definition (the engines compute full matmuls —
+    no pruning) and is flagged loudly rather than silently recorded."""
+    peak_bf16, peak_int8, hbm_gbps = peaks
+    peak = peak_int8 if compute_kind == "int8" else peak_bf16
+    if ms <= 0:
+        return {"error": "non-positive time"}
+    t = ms / 1e3
+    eff_tflops = flops / t / 1e12
+    eff_gbps = hbm_bytes / t / 1e9
+    mfu = eff_tflops / peak if peak else None
+    hbm_frac = eff_gbps / hbm_gbps if hbm_gbps else None
+    out = {
+        "flops": flops,
+        "hbm_bytes": hbm_bytes,
+        "tflops_effective": round(eff_tflops, 1),
+        "peak_tflops": peak,
+        "compute_kind": compute_kind,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "hbm_gbps_effective": round(eff_gbps, 1),
+        "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
+        "bound": (
+            "compute"
+            if mfu is not None and hbm_frac is not None and mfu >= hbm_frac
+            else "bandwidth"
+        ),
+    }
+    if (mfu is not None and mfu > 1.0) or (hbm_frac is not None and hbm_frac > 1.0):
+        out["ABOVE_ROOFLINE"] = (
+            "effective rate exceeds chip peak — timing artifact or wrong "
+            "peak table entry; do NOT quote this point"
+        )
+    return out
+
+
+def _bert_fwd_flops(n_layers: int, hidden: int, intermediate: int,
+                    batch: int, seq_len: int) -> float:
+    """Matmul FLOPs of one BERT-style forward: per layer QKVO (4 H^2) +
+    MLP (2 H I) GEMMs at 2 FLOPs/MAC, plus the two attention matmuls
+    (QK^T and PV: 4 B L^2 H per layer). Embedding lookup is a gather
+    (no FLOPs); pooler/classifier heads are negligible."""
+    tokens = batch * seq_len
+    per_token = n_layers * (4 * hidden * hidden + 2 * hidden * intermediate)
+    attn = 4.0 * batch * seq_len * seq_len * hidden * n_layers
+    return 2.0 * tokens * per_token + attn
+
 
 def _probe_device(timeout_s: int = 180) -> bool:
     """Fail FAST if the device/tunnel is wedged. A dead remote-TPU relay
@@ -68,7 +148,9 @@ def _probe_device(timeout_s: int = 180) -> bool:
     import subprocess
 
     code = (
-        "import jax, jax.numpy as jnp;"
+        "import os, jax, jax.numpy as jnp;"
+        "p = os.environ.get('SSKD_PLATFORM');"
+        "p and jax.config.update('jax_platforms', p);"
         "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"
     )
     try:
@@ -105,6 +187,10 @@ def main() -> None:
         )
         return
 
+    from sskd_tpu.utils.platform import apply_platform
+
+    apply_platform()  # honor SSKD_PLATFORM (e.g. cpu smoke runs)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -118,7 +204,22 @@ def main() -> None:
     )
 
     backend = jax.default_backend()
+    device_kind = jax.devices()[0].device_kind
+    peaks, peaks_key = _chip_peaks(device_kind)
+    if backend != "tpu":
+        peaks_key += " (non-TPU backend: roofline columns informational only)"
     rng = np.random.default_rng(0)
+
+    def sweep_roofline(n_rows, n_q, ms, dtype_bytes, kind):
+        """Roofline for one corpus sweep: full [n_q, n_rows] matmul FLOPs
+        + one pass over the corpus from HBM (queries/outputs negligible)."""
+        return _roofline(
+            2.0 * n_q * n_rows * dim,
+            float(n_rows) * dim * dtype_bytes + (n_rows * 4 if dtype_bytes == 1 else 0),
+            ms,
+            peaks,
+            compute_kind=kind,
+        )
 
     # Generate the int8 corpus in slabs: a full f32 copy of 10M x 384 is
     # 15 GB and OOMs v5e HBM before quantization.
@@ -306,6 +407,7 @@ def main() -> None:
             "qps": round(batch / (bf16_ms / 1000.0), 1) if bf16_ms > 0 else 0.0,
             "recall_at_k_vs_exact_f32": round(bf16_recall, 4),
             "cost_vs_int8": round(bf16_ms / approx_ms, 2) if approx_ms > 0 else None,
+            "roofline": sweep_roofline(rows, batch, bf16_ms, 2, "bf16"),
         }
         del cbf
 
@@ -355,6 +457,9 @@ def main() -> None:
             "cost_vs_int8": round(refine_ms / approx_ms, 2)
             if approx_ms > 0
             else None,
+            # rescore adds 2*B*m*D bf16 FLOPs + B*m*D*2 gathered bytes —
+            # <1% of the int8 sweep at m=40; the sweep roofline dominates
+            "roofline": sweep_roofline(rows, batch, refine_ms, 1, "int8"),
         }
         del rbf
 
@@ -450,7 +555,9 @@ def main() -> None:
             "ms_per_sweep": round(ms_10m, 3),
             "qps": round(batch / (ms_10m / 1000.0), 1) if ms_10m > 0 else 0.0,
             "recall_at_k_vs_exact_int8": round(recall_10m, 4),
+            "roofline": sweep_roofline(rows10, batch, ms_10m, 1, "int8"),
             "ms_per_sweep_b1": round(ms_10m_b1, 3),
+            "roofline_b1": sweep_roofline(rows10, 1, ms_10m_b1, 1, "int8"),
             "merge_topk_ms_b1": round(merge_ms_b1, 4),
             "merge_topk_ms_batch": round(merge_ms_batch, 4),
             "allgather_bytes_b1": gather_bytes_b1,
@@ -586,6 +693,16 @@ def main() -> None:
             "ms_per_query_b1": round(ms_b1, 4),
             "sweep_ms_per_query_b1": round(ms_sweep_b1, 4),
             "recall_at_k_vs_exact_int8": round(rec_c, 4),
+            # centroid scan + probed-cell sweep only (that IS the point of
+            # pruning); B=1 is latency- not throughput-bound, so a low MFU
+            # here is expected and the ms column is the verdict
+            "roofline": _roofline(
+                2.0 * (n_cells + nprobe * rpc) * dim,
+                float(nprobe) * rpc * dim + n_cells * dim * 4.0,
+                ms_b1,
+                peaks,
+                compute_kind="int8",
+            ),
         }
         del vq, sq, cent_j
 
@@ -685,6 +802,17 @@ def main() -> None:
         # index-build worst case) and L=128 (typical MS MARCO passage —
         # the shape behind the reference's GPU 2k-10k docs/s table,
         # ref docs/operations/scaling-and-performance.md:233-238)
+        def enc_flops(B, L):
+            return _bert_fwd_flops(
+                ecfg.num_layers, ecfg.hidden_size, ecfg.intermediate_size, B, L
+            )
+
+        # HBM traffic per forward ~= params (bf16) once per batch — weights
+        # dominate; activations stay fused/resident at these shapes
+        eparam_bytes = sum(
+            x.size for x in jax.tree.leaves(eparams)
+        ) * 2.0
+
         model_block["student_encode"] = []
         for EB, EL in ((256, 512), (256, 128)):
             ids, mask = tokens(EB, EL)
@@ -699,6 +827,9 @@ def main() -> None:
                     if enc_ms > 0
                     else 0.0,
                     "ref_gpu_docs_per_s": "2000-10000",
+                    "roofline": _roofline(
+                        enc_flops(EB, EL), eparam_bytes, enc_ms, peaks, "bf16"
+                    ),
                 }
             )
 
@@ -814,6 +945,12 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             t_times[n] = best
         step_ms = max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
+        # train FLOPs = 4x the tower forwards: fwd (1x) + remat recompute
+        # during backward (1x) + backward (2x). Towers: query [B, QL] and
+        # docs [B*N, DL]; loss/optimizer FLOPs are negligible at 33M params.
+        train_flops = 4.0 * (
+            enc_flops(TB_, QL) + enc_flops(TB_ * TN, DL)
+        )
         model_block["train_step"] = {
             "batch": TB_,
             "num_docs": TN,
@@ -821,6 +958,16 @@ def main() -> None:
             "doc_len": DL,
             "ms_per_step": round(step_ms, 2),
             "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
+            "roofline": _roofline(
+                train_flops,
+                # params read fwd + recompute + grad-write + adamw m/v/p
+                # read-write: ~8 param-passes at bf16-compute/f32-state
+                eparam_bytes * 8.0,
+                step_ms,
+                peaks,
+                "bf16",
+            ),
+            "flops_model": "4x tower fwd (fwd + remat recompute + 2x bwd)",
         }
         del kd_batch, eparams, opt_state
 
@@ -843,6 +990,7 @@ def main() -> None:
             jnp.ones((CB, CL), np.int32),
             jnp.zeros((CB, CL), np.int32),
         )
+        tparam_bytes = sum(x.size for x in jax.tree.leaves(tparams)) * 2.0
         model_block["teacher_score"] = {
             "arch": "bge-reranker-large shape (24L/1024H)",
             "batch": CB,
@@ -850,6 +998,16 @@ def main() -> None:
             "ms_per_batch": round(t_ms, 2),
             "pairs_per_s": round(CB / (t_ms / 1000.0), 1),
             "ref_cpu_ms_per_pair": 100,
+            "roofline": _roofline(
+                _bert_fwd_flops(
+                    tcfg.num_layers, tcfg.hidden_size,
+                    tcfg.intermediate_size, CB, CL,
+                ),
+                tparam_bytes,
+                t_ms,
+                peaks,
+                "bf16",
+            ),
         }
         del tparams
 
@@ -871,6 +1029,7 @@ def main() -> None:
         model_block["tokenizer_docs_per_s"] = round(len(docs) / tok_s, 1)
 
     qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
+    headline_roofline = sweep_roofline(rows, batch, approx_ms, 1, "int8")
     result = {
         "metric": "index_search_qps_chip",
         "value": round(qps, 1),
@@ -878,6 +1037,8 @@ def main() -> None:
         "vs_baseline": round(qps / REFERENCE_QPS, 2),
         "detail": {
             "backend": backend,
+            "device_kind": device_kind,
+            "peak_table": peaks_key,
             "rows": rows,
             "dim": dim,
             "batch": batch,
@@ -890,6 +1051,7 @@ def main() -> None:
             "ms_per_sweep": round(approx_ms, 3),
             "ms_per_sweep_runs": [round(r, 3) for r in approx_runs],
             "ms_per_query_amortized": round(approx_ms / batch, 5),
+            "roofline": headline_roofline,
             # round-over-round headline history (BENCH_r01/r02.json) so
             # regressions are visible without archaeology; r01/r02 were
             # single-shot measurements, r03+ is min-of-3
@@ -899,6 +1061,7 @@ def main() -> None:
             if exact_ms > 0
             else 0.0,
             "exact_engine_recall_at_k_vs_exact_f32": round(exact_recall, 4),
+            "exact_engine_roofline": sweep_roofline(rows, batch, exact_ms, 1, "int8"),
             "bf16_1m": bf16_point,
             "refined_1m": refine_point,
             "scale_10m": scale_10m,
@@ -906,6 +1069,8 @@ def main() -> None:
             "model": model_block,
         },
     }
+    if "ABOVE_ROOFLINE" in headline_roofline:
+        result["warning"] = "headline point above roofline — re-measure"
     print(json.dumps(result))
 
 
