@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Two-process jax.distributed dryrun: the DCN (multi-host) leg of
+SURVEY 5.8, executed on CPU.
+
+The reference was single-process/single-device (SURVEY 2.10); this
+framework's multi-host story is ``parallel.mesh.initialize_distributed``
+-> one global ``Mesh`` spanning every process's devices -> the SAME
+jit/shard_map programs the single-host path uses, with XLA routing
+intra-host legs over ICI and cross-host legs over DCN. On a real
+multi-slice pod only the env vars change; here the fabric is gRPC+Gloo
+between two local CPU processes, which exercises every framework-owned
+line of that path:
+
+- ``initialize_distributed`` (explicit coordinator/process args — the
+  exact call a TPU pod job makes, parallel/mesh.py:22-48),
+- global device discovery across processes (8 devices, 4 per process),
+- a cross-process ``psum`` (the DP gradient reduction),
+- a cross-process ``all_gather`` over the ``index`` axis + local top-k
+  merge (the sharded-search merge step, index/sharded.py),
+- ``make_array_from_process_local_data`` (how a pod feeds per-host
+  batches into a global array).
+
+Run: ``python scripts/dryrun_multihost.py`` (spawns its two workers).
+CI: tests/test_multihost_dcn.py runs this end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+N_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def _worker(process_id: int, port: int) -> None:
+    import jax
+
+    # this host pins JAX_PLATFORMS through sitecustomize; in-process
+    # config is the only reliable override (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    try:  # cross-process CPU collectives ride Gloo
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 — flag name varies across jax versions
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sskd_tpu.parallel.mesh import create_mesh, initialize_distributed
+
+    assert initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=N_PROC,
+        process_id=process_id,
+    ), "initialize_distributed must run when args are given"
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == N_PROC, jax.process_count()
+    n_global = N_PROC * LOCAL_DEVICES
+    assert len(jax.devices()) == n_global, len(jax.devices())
+    assert jax.local_device_count() == LOCAL_DEVICES
+
+    # one global mesh over both processes: data axis spans hosts (DCN),
+    # index axis stays intra-host (ICI on a real pod)
+    mesh = create_mesh(data_parallel=N_PROC, index_parallel=LOCAL_DEVICES)
+
+    # ---- cross-process psum (the DP gradient reduction) ----------------
+    # each process contributes its process_id+1 on its local shard rows
+    local = np.full((LOCAL_DEVICES, 8), float(process_id + 1), np.float32)
+    global_shape = (n_global, 8)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(("data", "index"), None)), local, global_shape
+    )
+
+    @jax.jit
+    def reduce_sum(x):
+        return x.sum()
+
+    total = float(reduce_sum(arr))
+    expect = 8.0 * LOCAL_DEVICES * sum(range(1, N_PROC + 1))
+    assert abs(total - expect) < 1e-6, (total, expect)
+
+    # ---- cross-process all_gather + top-k merge (sharded search) -------
+    # per-shard local top-k candidates live on every device; the serving
+    # merge all-gathers them over the mesh and re-top-ks. Mirror it with
+    # shard_map over the flattened mesh, k=4 per shard.
+    k = 4
+    rng = np.random.default_rng(7)
+    cand_all = rng.standard_normal((n_global, k)).astype(np.float32)
+    cand = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(("data", "index"), None)),
+        cand_all[
+            process_id * LOCAL_DEVICES : (process_id + 1) * LOCAL_DEVICES
+        ],
+        (n_global, k),
+    )
+
+    @jax.jit
+    def gather_merge(c):
+        def body(c_local):
+            gathered = jax.lax.all_gather(
+                c_local, ("data", "index"), tiled=True
+            )  # [n_global*? , k] — every shard sees all candidates
+            vals, _ = jax.lax.top_k(gathered.reshape(-1), k)
+            return vals[None, :]
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(("data", "index"), None),
+            out_specs=P(("data", "index"), None),
+        )(c)
+
+    merged = np.asarray(jax.device_get(gather_merge(cand).addressable_shards[0].data))
+    expect_top = np.sort(cand_all.reshape(-1))[::-1][:k]
+    np.testing.assert_allclose(merged[0], expect_top, rtol=1e-6)
+
+    print(f"DCN-DRYRUN-OK p{process_id} total={total} top={merged[0].tolist()}")
+
+
+def main() -> int:
+    if "--process-id" in sys.argv:
+        pid = int(sys.argv[sys.argv.index("--process-id") + 1])
+        port = int(sys.argv[sys.argv.index("--port") + 1])
+        _worker(pid, port)
+        return 0
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # workers force cpu in-process anyway
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--process-id", str(i), "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(N_PROC)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        out = p.communicate(timeout=300)[0].decode()
+        marker = f"DCN-DRYRUN-OK p{i}" in out
+        ok = ok and p.returncode == 0 and marker
+        print(f"--- worker {i} (rc={p.returncode}, marker={marker}) ---")
+        print(out[-2000:])
+    print("MULTIHOST DRYRUN", "PASSED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
