@@ -251,7 +251,7 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     q0 = jnp.asarray(queries)
 
-    def slope_runs(search_fn, *args, q=None, repeats=1) -> list[float]:
+    def slope_runs(search_fn, *args, q=None, repeats=1, hi=None) -> list[float]:
         """ms per sweep via data-dependent on-device loop + readback,
         ``repeats`` times on the SAME compiled programs (compile once,
         re-time cheaply). The chained loop defeats BOTH tunnel lies:
@@ -260,6 +260,11 @@ def main() -> None:
         timing loop reported 0.024 ms for a kernel whose true cost is
         2.3 ms)."""
         q_arr = q0 if q is None else q
+        # hi: iteration count for the high point — raise it for micro-ops
+        # (e.g. the B=1 merge is ~µs: an 8-iteration chain cannot resolve
+        # it above tunnel noise; r03 recorded 0.0 ms for exactly that
+        # reason, VERDICT r3 next #7)
+        n_hi = hi if hi is not None else iters
 
         def make(n):
             @jax.jit
@@ -274,11 +279,11 @@ def main() -> None:
 
             return chained
 
-        fns = {n: make(n) for n in (1, iters)}
+        fns = {n: make(n) for n in (1, n_hi)}
         runs = []
         for _ in range(repeats):
             times = {}
-            for n in (1, iters):
+            for n in (1, n_hi):
                 fn = fns[n]
                 out = fn(q_arr, *args)
                 float(out[1])  # compile (first repeat only) + settle
@@ -287,12 +292,12 @@ def main() -> None:
                 float(out[1])  # readback forces completion
                 times[n] = time.perf_counter() - t0
             runs.append(
-                max(0.0, (times[iters] - times[1]) / (iters - 1) * 1000.0)
+                max(0.0, (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0)
             )
         return runs
 
-    def slope_ms(search_fn, *args, q=None) -> float:
-        return slope_runs(search_fn, *args, q=q)[0]
+    def slope_ms(search_fn, *args, q=None, hi=None) -> float:
+        return slope_runs(search_fn, *args, q=q, hi=hi)[0]
 
     # headline: int8 + fused binned top-k (production config). THREE
     # interleaved-in-time slope measurements, best-of taken: the r01->r02
@@ -468,7 +473,8 @@ def main() -> None:
     scale_10m = None
     want_10m = os.environ.get("SSKD_BENCH_10M", "1" if backend == "tpu" else "0") == "1"
     if want_10m and rows < 10_000_000:
-        rows10 = 10_000_000
+        # SSKD_BENCH_10M_ROWS: shrink the scale point for CPU smoke runs
+        rows10 = int(os.environ.get("SSKD_BENCH_10M_ROWS", 10_000_000))
         v_slabs, s_slabs = [], []
         for i in range(0, rows10, slab):
             n = min(slab, rows10 - i)
@@ -518,6 +524,62 @@ def main() -> None:
             q=q0[:1],
         )
 
+        # fused serving-path B=1 at 10M: the production serving program is
+        # ONE jitted dispatch = encode(L=64) + int8 sweep + top-k
+        # (serve/fused.py). Its device-side B=1 latency is the number that
+        # bounds the serving p50 on a chip (host/tokenize/RTT overheads
+        # are bench_serving.py's axis). Measured with the same ids-chained
+        # slope the model block uses; per-dispatch salt defeats the
+        # tunnel's identical-computation result cache.
+        fused_b1_ms = None
+        if dim == 384:
+            from sskd_tpu.models.bert import BertConfig as _BC
+            from sskd_tpu.models.bert import BiEncoder as _BE
+
+            _ecfg = _BC.e5_small_v2(compute_dtype=jnp.bfloat16)
+            _enc = _BE(_ecfg, normalize=True, pooling="mean")
+            _dummy = np.zeros((1, 8), np.int32)
+            _ep = _enc.init(jax.random.PRNGKey(5), _dummy, np.ones_like(_dummy))
+            f_ids = jnp.asarray(
+                rng.integers(1000, _ecfg.vocab_size, (1, 64)).astype(np.int32)
+            )
+            f_mask = jnp.ones((1, 64), jnp.int32)
+
+            @jax.jit
+            def fused_chain(p, ids, seed, n, c, s):
+                def body(i, carry):
+                    ids_c, acc = carry
+                    qv = _enc.apply(p, ids_c, f_mask).astype(jnp.float32)
+                    vals, idx = cosine_topk_core(
+                        qv, c, k=k, row_scales=s, method="approx",
+                        recall_target=0.99,
+                    )
+                    total = vals.sum() + idx.astype(jnp.float32).sum() * 1e-9
+                    shift = (total * 0 + i + seed).astype(jnp.int32)
+                    ids_c = (ids_c + shift) % 1000 + 10
+                    return ids_c, acc + total
+
+                _, acc = jax.lax.fori_loop(0, n, body, (ids, jnp.float32(0)))
+                return acc
+
+            f_salt = iter(range(1, 1000))
+            float(fused_chain(_ep, f_ids, jnp.float32(next(f_salt)),
+                              jnp.int32(1), c8_10, scales_10))
+            f_times = {}
+            for n in (1, iters):
+                best = float("inf")
+                for _ in range(2):
+                    sd = jnp.float32(next(f_salt))
+                    t0 = time.perf_counter()
+                    float(fused_chain(_ep, f_ids, sd, jnp.int32(n),
+                                      c8_10, scales_10))
+                    best = min(best, time.perf_counter() - t0)
+                f_times[n] = best
+            fused_b1_ms = max(
+                0.0, (f_times[iters] - f_times[1]) / (iters - 1) * 1000.0
+            )
+            del _ep
+
         # ICI shard projection with BOTH terms measured (VERDICT r2 next
         # #7 — no more bare "divide by N"):
         #   projected = local_sweep(N/8 rows) + merge(8 shards)
@@ -535,16 +597,19 @@ def main() -> None:
             v, i2 = merge_topk(cand_v + q[:, :1] * 0.0, cand_i, k)
             return v, i2
 
-        def merge_time(nq: int) -> float:
+        def merge_time(nq: int, hi=None) -> float:
             cand_v = jnp.asarray(
                 rng.standard_normal((nq, n_shards * k)).astype(np.float32)
             )
             cand_i = jnp.asarray(
                 rng.integers(0, rows10, (nq, n_shards * k)).astype(np.int32)
             )
-            return slope_ms(merge_fn, cand_v, cand_i, q=q0[:nq])
+            return slope_ms(merge_fn, cand_v, cand_i, q=q0[:nq], hi=hi)
 
-        merge_ms_b1 = merge_time(1)
+        # B=1 merge is a ~µs op: resolve it with a 2048-iteration chain
+        # (r03's 8-iteration chain recorded 0.0 ms — a measurement hole,
+        # not a free merge)
+        merge_ms_b1 = merge_time(1, hi=2048)
         merge_ms_batch = merge_time(batch)
         gather_bytes_b1 = n_shards * 1 * k * 8
         gather_ms_b1 = gather_bytes_b1 / 100e9 * 1e3  # v5e ICI ~100 GB/s
@@ -562,8 +627,22 @@ def main() -> None:
             "merge_topk_ms_batch": round(merge_ms_batch, 4),
             "allgather_bytes_b1": gather_bytes_b1,
             "allgather_est_ms_b1": round(gather_ms_b1, 5),
+            "fused_serving_b1_ms_single_chip": (
+                round(fused_b1_ms, 3) if fused_b1_ms is not None else None
+            ),
             "projected_p50_ms_10m_8shard": round(projected_p50, 3),
             "projected_formula": "b1_sweep/8 + measured_merge + ici_bytes/bw",
+            # encode term (fused minus bare sweep) does not shard: it runs
+            # replicated, so the 8-shard fused projection keeps it whole
+            "projected_fused_p50_ms_10m_8shard": (
+                round(
+                    max(0.0, fused_b1_ms - ms_10m_b1)
+                    + ms_10m_b1 / n_shards + merge_ms_b1 + gather_ms_b1,
+                    3,
+                )
+                if fused_b1_ms is not None
+                else None
+            ),
             "projected_ms_per_sweep_8_shards": round(
                 ms_10m / 8 + merge_ms_batch, 3
             ),
