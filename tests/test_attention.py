@@ -42,6 +42,48 @@ def test_flash_matches_xla_with_padding_mask():
     np.testing.assert_allclose(flash_np[1, :, :64], xla_np[1, :, :64], atol=2e-5)
 
 
+def test_flash_head_group_packing_matches_unpacked():
+    """G heads per program must give the same numbers as one-head
+    programs (the packing only batches the dots)."""
+    rng = np.random.default_rng(2)
+    q, k, v = _qkv(rng, 2, 4, 128, 32)
+    mask = np.ones((2, 128), np.int32)
+    mask[1, 96:] = 0
+    packed = flash_attention(
+        q, k, v, jnp.asarray(mask), block_q=64, head_group=4, interpret=True
+    )
+    unpacked = flash_attention(
+        q, k, v, jnp.asarray(mask), block_q=64, head_group=1, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(unpacked), atol=2e-6
+    )
+
+
+def test_flash_bf16_matches_xla_loosely():
+    """bf16 inputs run bf16 MXU dots (f32 accumulate): parity vs the XLA
+    path within bf16 tolerance — the production encode dtype."""
+    rng = np.random.default_rng(3)
+    q, k, v = _qkv(rng, 2, 3, 128, 32)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out_flash = flash_attention(qb, kb, vb, block_q=64, interpret=True)
+    out_xla = xla_attention(qb, kb, vb)
+    assert out_flash.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_flash, dtype=np.float32),
+        np.asarray(out_xla, dtype=np.float32),
+        atol=3e-2,
+    )
+
+
+def test_flash_odd_length_single_block_fallback():
+    q, k, v = _qkv(np.random.default_rng(4), 1, 2, 96, 16)
+    out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(xla_attention(q, k, v)), atol=2e-5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused training attention (softmax + in-kernel PRNG dropout + PV)
 # ---------------------------------------------------------------------------
