@@ -121,6 +121,46 @@ class TestKDTrainer:
         assert "dev_ndcg@10" in result["history"][0]
         assert 0.0 <= result["history"][0]["dev_ndcg@10"] <= 1.0
 
+    def test_dev_ndcg_teacher_graded_does_not_saturate(
+        self, student, monkeypatch
+    ):
+        """Binary positive-at-0 nDCG hits 1.0 the moment every positive
+        ranks first and stops moving; teacher-graded gains keep
+        discriminating on the hard-negative ORDER (VERDICT r3 weak #6).
+        Pin: with the positive always ranked first, a student ordering
+        that agrees with the teacher over the negatives must score
+        strictly higher than one that inverts it — and neither is 1.0
+        unless the agreement is exact."""
+        trainer = KDTrainer(student, self._settings())
+        sample = KDSample(
+            query="q",
+            docs=["pos", "neg a", "neg b", "neg c"],
+            teacher_scores=[5.0, 2.0, 1.0, 0.0],
+        )
+
+        def fake_eval(order_scores):
+            def encode_queries(texts, **kw):
+                return np.ones((len(texts), 1), np.float32)
+
+            def encode_documents(texts, **kw):
+                return np.asarray(order_scores, np.float32)[
+                    : len(texts)
+                ].reshape(-1, 1)
+
+            monkeypatch.setattr(
+                trainer.student, "encode_queries", encode_queries
+            )
+            monkeypatch.setattr(
+                trainer.student, "encode_documents", encode_documents
+            )
+            return trainer._dev_ndcg([sample], trainer.student.params)
+
+        agree = fake_eval([9.0, 3.0, 2.0, 1.0])  # teacher order
+        invert = fake_eval([9.0, 1.0, 2.0, 3.0])  # negatives inverted
+        assert agree == pytest.approx(1.0)  # exact agreement = 1.0
+        assert invert < agree  # binary signal would call these equal
+        assert invert < 1.0
+
     def test_eval_steps_captures_mid_epoch_improvement(
         self, student, tmp_path, monkeypatch
     ):
