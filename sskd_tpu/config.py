@@ -98,6 +98,14 @@ class TrainingConfig(BaseModel):
     # layer's activations for backward exceeds v5e HBM; remat trades ~1/3
     # more FLOPs for O(sqrt(layers)) activation memory
     remat: bool = True
+    # remat granularity: "full" recomputes the whole tower forward in the
+    # backward (max memory savings, +1x fwd FLOPs); "dots" saves matmul
+    # outputs and recomputes only cheap elementwise ops
+    # (jax.checkpoint_policies.checkpoint_dots) — post-fusion the
+    # attention probs never materialize, so the doc tower's matmul
+    # activations (~2-3 GB at bench shapes) fit v5e HBM and the +1x fwd
+    # recompute is mostly avoidable
+    remat_policy: str = Field(default="full", pattern="^(full|dots)$")
     # PRNG implementation for the per-step dropout keys. "rbg" drives the
     # TPU's hardware RngBitGenerator instead of computing threefry2x32 on
     # the VPU: measured 473.6 -> 429.3 ms/step at e5-small bench shapes

@@ -95,8 +95,16 @@ class KDTrainer:
             # B*N sequences — storing every layer's activations for
             # backward exceeds HBM at e5 shapes (measured OOM on v5e at
             # B=32, N=8, L=192); jax.checkpoint recomputes them in the
-            # backward pass instead
-            encode = jax.checkpoint(encode)
+            # backward pass instead. policy "dots" keeps matmul outputs
+            # (no GEMM recompute) and recomputes only elementwise ops —
+            # viable since the fused attention kernel stopped
+            # materializing probs (training.remat_policy).
+            policy = (
+                jax.checkpoint_policies.checkpoint_dots
+                if self.cfg.remat_policy == "dots"
+                else None
+            )
+            encode = jax.checkpoint(encode, policy=policy)
 
         def step_fn(params, opt_state, batch, progress, rng):
             # Dropout is ACTIVE during training (deterministic=False) with a

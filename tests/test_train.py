@@ -121,6 +121,19 @@ class TestKDTrainer:
         assert "dev_ndcg@10" in result["history"][0]
         assert 0.0 <= result["history"][0]["dev_ndcg@10"] <= 1.0
 
+    def test_remat_policy_dots_trains(self, student, tmp_path):
+        """training.remat_policy='dots' (save matmul outputs, recompute
+        only elementwise) must produce a working training run — the
+        post-fusion fast path for the KD step."""
+        samples = _make_samples(8)
+        settings = self._settings(epochs=1)
+        settings.training.remat_policy = "dots"
+        trainer = KDTrainer(student, settings)
+        result = trainer.train(
+            samples, output_dir=tmp_path / "run_dots", query_len=16, doc_len=16
+        )
+        assert np.isfinite(result["history"][0]["train_loss"])
+
     def test_dev_ndcg_teacher_graded_does_not_saturate(
         self, student, monkeypatch
     ):
