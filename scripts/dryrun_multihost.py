@@ -120,7 +120,28 @@ def _worker(process_id: int, port: int) -> None:
     expect_top = np.sort(cand_all.reshape(-1))[::-1][:k]
     np.testing.assert_allclose(merged[0], expect_top, rtol=1e-6)
 
-    print(f"DCN-DRYRUN-OK p{process_id} total={total} top={merged[0].tolist()}")
+    # ---- the PRODUCTION sharded index across processes ------------------
+    # index axis spanning all 8 devices of both processes: the per-shard
+    # sweep + all_gather + merge_topk program (index/sharded.py) executes
+    # with its collectives crossing the process boundary — on a multi-slice
+    # pod this is exactly the DCN leg.
+    from sskd_tpu.index.sharded import ShardedIndex
+
+    dcn_mesh = create_mesh(data_parallel=1, index_parallel=n_global)
+    emb = rng.standard_normal((500, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    idx = ShardedIndex(dcn_mesh).build_from_arrays(
+        emb, [f"d{i}" for i in range(500)]
+    )
+    queries = emb[:5] + 0.01 * rng.standard_normal((5, 64)).astype(np.float32)
+    vals, top = idx.search(queries, k=5)
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
+    assert (top == gt).all(), (top, gt)
+
+    print(
+        f"DCN-DRYRUN-OK p{process_id} total={total} top={merged[0].tolist()} "
+        f"sharded-search exact-match over {n_global} cross-process shards"
+    )
 
 
 def main() -> int:
