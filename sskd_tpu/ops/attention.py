@@ -227,10 +227,17 @@ def _uniform_bits(shape):
 def _dropattn_fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, p: float, sm_scale: float
 ):
-    """One (batch*head) program: ctx = dropout(softmax(qk^T + bias)) @ v."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """One (batch*head) program: ctx = dropout(softmax(qk^T + bias)) @ v.
+
+    Dots run in the INPUT dtype with f32 accumulation (softmax statistics
+    and the dropout scale stay f32): upcasting to f32 before the dot puts
+    f32 matmuls on the MXU at a fraction of the bf16 rate. f32 inputs
+    (CPU tests) behave bit-identically to the previous version; the
+    backward recomputes s with the SAME dot, so fwd/bwd probs match
+    exactly in either dtype."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale + bias_ref[0]
@@ -242,7 +249,8 @@ def _dropattn_fwd_kernel(
         u = _uniform_bits(probs.shape)
         probs = jnp.where(u >= p, probs * (1.0 / (1.0 - p)), 0.0)
     o_ref[0] = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -260,11 +268,18 @@ def _dropattn_bwd_kernel(
     p: float,
     sm_scale: float,
 ):
-    """Recompute probs + the IDENTICAL keep-mask, then the softmax VJP."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    """Recompute probs + the IDENTICAL keep-mask, then the softmax VJP.
+
+    Same dtype policy as the forward: MXU dots in the input dtype with
+    f32 accumulation, f32 softmax/VJP arithmetic between them. The s
+    recompute uses the same dot as the forward, so the probs (and
+    therefore the dropout mask application) match the forward exactly.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    cdt = q.dtype  # compute dtype of the MXU dots
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale + bias_ref[0]
@@ -280,7 +295,8 @@ def _dropattn_bwd_kernel(
         pd = probs
     # dv = pd^T g ; dprobs = (g v^T) through the dropout mask
     dv_ref[0] = jax.lax.dot_general(
-        pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pd.astype(cdt), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dpd = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -293,10 +309,12 @@ def _dropattn_bwd_kernel(
     ds = probs * (dprobs - jnp.sum(dprobs * probs, axis=1, keepdims=True))
     ds = ds * sm_scale
     dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
 

@@ -128,6 +128,45 @@ def test_dropout_attention_p0_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_dropout_attention_p0_bf16_matches_xla_loosely():
+    """bf16 inputs (the production training compute dtype) run bf16 MXU
+    dots with f32 accumulation: forward + grads parity vs the XLA path
+    within bf16 tolerance."""
+    rng = np.random.default_rng(6)
+    B, h, L, d = 2, 2, 128, 32
+    q, k, v = _qkv(rng, B, h, L, d)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    bias_rows = jnp.zeros((B, L), jnp.float32)
+    seed = jnp.asarray(3, jnp.int32)
+
+    out = dropout_attention(qb, kb, vb, bias_rows, 0.0, seed, interpret=True)
+    ref = xla_attention(qb, kb, vb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+    g = jnp.asarray(
+        rng.standard_normal((B, h, L, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def f_kernel(q_, k_, v_):
+        return jnp.vdot(
+            dropout_attention(q_, k_, v_, bias_rows, 0.0, seed, interpret=True),
+            g,
+        )
+
+    def f_ref(q_, k_, v_):
+        return jnp.vdot(xla_attention(q_, k_, v_), g)
+
+    grads_k = jax.grad(f_kernel, argnums=(0, 1, 2))(qb, kb, vb)
+    grads_r = jax.grad(f_ref, argnums=(0, 1, 2))(qb, kb, vb)
+    for a, b in zip(grads_k, grads_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0.15
+        )
+
+
 def test_dropout_attention_p_positive_requires_tpu():
     rng = np.random.default_rng(3)
     q, k, v = _qkv(rng, 1, 1, 128, 32)
