@@ -174,6 +174,48 @@ class TestKDTrainer:
         assert invert < agree  # binary signal would call these equal
         assert invert < 1.0
 
+    def test_dev_ndcg_positive_placement_dominates_graded_tiebreak(
+        self, student, monkeypatch
+    ):
+        """The graded component is a TIEBREAK, not the signal: a
+        checkpoint that keeps the positive first with the negatives
+        fully inverted must beat one that ranks a high-teacher-score
+        negative above the positive with perfect negative agreement.
+        Pure-graded selection violated this when mined near-duplicate
+        negatives carried teacher scores close to the positive's — the
+        r4 demo-gate failure (KD arm picked a checkpoint testing 0.77
+        on qrels where positive-first selection yields ~0.85)."""
+        trainer = KDTrainer(student, self._settings())
+        # near-duplicate negative: teacher score 4.5 vs positive's 5.0
+        sample = KDSample(
+            query="q",
+            docs=["pos", "near dup", "neg b", "neg c"],
+            teacher_scores=[5.0, 4.5, 1.0, 0.0],
+        )
+
+        def fake_eval(order_scores):
+            def encode_queries(texts, **kw):
+                return np.ones((len(texts), 1), np.float32)
+
+            def encode_documents(texts, **kw):
+                return np.asarray(order_scores, np.float32)[
+                    : len(texts)
+                ].reshape(-1, 1)
+
+            monkeypatch.setattr(
+                trainer.student, "encode_queries", encode_queries
+            )
+            monkeypatch.setattr(
+                trainer.student, "encode_documents", encode_documents
+            )
+            return trainer._dev_ndcg([sample], trainer.student.params)
+
+        # positive first, negatives inverted vs teacher
+        pos_first = fake_eval([9.0, 1.0, 2.0, 3.0])
+        # near-dup negative first (perfect TEACHER agreement otherwise)
+        neg_first = fake_eval([8.0, 9.0, 2.0, 1.0])
+        assert pos_first > neg_first
+
     def test_eval_steps_captures_mid_epoch_improvement(
         self, student, tmp_path, monkeypatch
     ):
