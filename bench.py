@@ -883,6 +883,14 @@ def main() -> None:
         dummy = np.zeros((1, 8), np.int32)
         model_block = {}
 
+        # SSKD_BENCH_MODEL_SMOKE=1: tiny batches so the FULL model-block
+        # code path (incl. the flash/fused fallback plumbing) executes on
+        # CPU in seconds — flow validation for the unattended TPU run,
+        # never a performance record (the record annotates itself).
+        smoke = os.environ.get("SSKD_BENCH_MODEL_SMOKE", "0") == "1"
+        if smoke:
+            model_block["SMOKE"] = "shapes shrunk; timings meaningless"
+
         # (a) student corpus-encode throughput: e5-small-v2 shape
         # (12L/384H), bf16 compute, batch 256, L=512 (chunker max — the
         # index-build worst case). Reference: GPU 2k-10k docs/s at bs
@@ -917,24 +925,43 @@ def main() -> None:
         ) * 2.0
 
         model_block["student_encode"] = []
-        for EB, EL in ((256, 512), (256, 128)):
+        for EB, EL in ((8, 512), (8, 128)) if smoke else ((256, 512), (256, 128)):
             ids, mask = tokens(EB, EL)
-            enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
-            model_block["student_encode"].append(
-                {
-                    "arch": "e5-small-v2 shape (12L/384H)",
-                    "batch": EB,
-                    "seq_len": EL,
-                    "ms_per_batch": round(enc_ms, 2),
-                    "docs_per_s": round(EB / (enc_ms / 1000.0), 1)
-                    if enc_ms > 0
-                    else 0.0,
-                    "ref_gpu_docs_per_s": "2000-10000",
-                    "roofline": _roofline(
-                        enc_flops(EB, EL), eparam_bytes, enc_ms, peaks, "bf16"
-                    ),
-                }
-            )
+            # auto dispatch (ops/attention.py): flash when XLA would
+            # materialize >256 MB of scores — i.e. the L=512 row. The
+            # reworked flash kernel must not be able to take the whole
+            # official record down with it (round 3 lost its record to
+            # an external failure): on ANY error retry pinned to XLA
+            # and annotate, so the record degrades instead of dying.
+            enc_err = None
+            try:
+                enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
+                attn_path = "auto"
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                enc_err = str(e)[:200]
+                os.environ["SSKD_FLASH_ATTENTION"] = "0"
+                try:
+                    enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
+                    attn_path = "xla (flash fallback)"
+                finally:
+                    os.environ.pop("SSKD_FLASH_ATTENTION", None)
+            point = {
+                "arch": "e5-small-v2 shape (12L/384H)",
+                "batch": EB,
+                "seq_len": EL,
+                "attention": attn_path,
+                "ms_per_batch": round(enc_ms, 2),
+                "docs_per_s": round(EB / (enc_ms / 1000.0), 1)
+                if enc_ms > 0
+                else 0.0,
+                "ref_gpu_docs_per_s": "2000-10000",
+                "roofline": _roofline(
+                    enc_flops(EB, EL), eparam_bytes, enc_ms, peaks, "bf16"
+                ),
+            }
+            if enc_err is not None:
+                point["flash_error"] = enc_err
+            model_block["student_encode"].append(point)
 
         # query-encode device latency at serving shape (B=1, L=64 bucket)
         # — the reference's "~1 ms query encode" headline point (ref
@@ -943,7 +970,8 @@ def main() -> None:
         # n_hi=96: a B=1 forward is ~30 µs — the chain must accumulate
         # well above tunnel noise (a 16-iteration chain measured 0.0)
         ids1, mask1 = tokens(1, 64)
-        q_ms = fwd_slope_ms(enc.apply, eparams, ids1, mask1, n_hi=96)
+        q_ms = fwd_slope_ms(enc.apply, eparams, ids1, mask1,
+                            n_hi=4 if smoke else 96)
         model_block["student_query_encode_b1_ms"] = round(q_ms, 4)
 
         # (b) KD train step: B=32 queries x N=8 docs, doc_len 192, query
@@ -954,7 +982,7 @@ def main() -> None:
             optax.adamw(2e-5, weight_decay=0.01),
         )
         opt_state = tx.init(eparams)
-        TB_, TN, QL, DL = 32, 8, 64, 192
+        TB_, TN, QL, DL = (2, 2, 32, 64) if smoke else (32, 8, 64, 192)
 
         # same remat the production trainer uses (kd/train.py — without it
         # the doc-tower backward OOMs v5e HBM at exactly this shape)
@@ -1018,15 +1046,22 @@ def main() -> None:
         # t(n)-t(1) slope cancels dispatch + host overhead (a host-driven
         # step-per-dispatch loop overstates the step by the tunnel RTT
         # under CPU contention)
-        @jax.jit
-        def train_chained(params, opt_state, batch, rng, n):
-            def body(i, carry):
-                p, o = carry
-                p, o, _ = train_step(p, o, batch, jax.random.fold_in(rng, i))
-                return (p, o)
+        def _make_train_chained():
+            # fresh closure per call: the fallback path below re-jits so
+            # the SSKD_FUSED_DROPOUT_ATTN flip is seen at trace time
+            @jax.jit
+            def train_chained(params, opt_state, batch, rng, n):
+                def body(i, carry):
+                    p, o = carry
+                    p, o, _ = train_step(
+                        p, o, batch, jax.random.fold_in(rng, i)
+                    )
+                    return (p, o)
 
-            p, o = jax.lax.fori_loop(0, n, body, (params, opt_state))
-            return jax.tree.leaves(p)[0].reshape(-1)[0]
+                p, o = jax.lax.fori_loop(0, n, body, (params, opt_state))
+                return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+            return train_chained
 
         # distinct rng per dispatch: identical repeated dispatches are
         # served from the tunnel's result cache (see fwd_slope_ms);
@@ -1035,19 +1070,45 @@ def main() -> None:
         # hardware RngBitGenerator dropout bits, 473.6 -> 429.3 ms/step
         # vs threefry at this exact shape
         rng_key = jax.random.key(7, impl="rbg")
-        float(train_chained(eparams, opt_state, kd_batch,
-                            jax.random.fold_in(rng_key, next(salt_src)),
-                            jnp.int32(1)))
-        t_times = {}
-        for n in (1, 5):
-            best = float("inf")
-            for _ in range(2):
-                r = jax.random.fold_in(rng_key, next(salt_src))
-                t0 = time.perf_counter()
-                float(train_chained(eparams, opt_state, kd_batch, r, jnp.int32(n)))
-                best = min(best, time.perf_counter() - t0)
-            t_times[n] = best
-        step_ms = max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
+
+        def measure_train_ms():
+            train_chained = _make_train_chained()
+            float(train_chained(eparams, opt_state, kd_batch,
+                                jax.random.fold_in(rng_key, next(salt_src)),
+                                jnp.int32(1)))
+            t_times = {}
+            for n in (1, 5):
+                best = float("inf")
+                for _ in range(2):
+                    r = jax.random.fold_in(rng_key, next(salt_src))
+                    t0 = time.perf_counter()
+                    float(train_chained(eparams, opt_state, kd_batch, r,
+                                        jnp.int32(n)))
+                    best = min(best, time.perf_counter() - t0)
+                t_times[n] = best
+            return max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
+
+        # Fused dropout-attention is the TPU default (models/bert.py);
+        # like the flash fallback above, a kernel failure must degrade
+        # the record, not destroy it — retry on the materialized-probs
+        # path and annotate. train_chained re-jits inside the retry so
+        # the env flip is seen at trace time.
+        train_err = None
+        try:
+            step_ms = measure_train_ms()
+            train_attn = (
+                "fused dropout-attention (default)"
+                if backend == "tpu"
+                else "materialized probs (non-TPU)"
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            train_err = str(e)[:200]
+            os.environ["SSKD_FUSED_DROPOUT_ATTN"] = "0"
+            try:
+                step_ms = measure_train_ms()
+                train_attn = "materialized probs (fused fallback)"
+            finally:
+                os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
         # train FLOPs = 4x the tower forwards: fwd (1x) + remat recompute
         # during backward (1x) + backward (2x). Towers: query [B, QL] and
         # docs [B*N, DL]; loss/optimizer FLOPs are negligible at 33M params.
@@ -1059,6 +1120,7 @@ def main() -> None:
             "num_docs": TN,
             "query_len": QL,
             "doc_len": DL,
+            "attention": train_attn,
             "ms_per_step": round(step_ms, 2),
             "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
             "roofline": _roofline(
@@ -1072,6 +1134,8 @@ def main() -> None:
             ),
             "flops_model": "4x tower fwd (fwd + remat recompute + 2x bwd)",
         }
+        if train_err is not None:
+            model_block["train_step"]["fused_error"] = train_err
         del kd_batch, eparams, opt_state
 
         # (c) teacher rescoring throughput: bge-reranker-large shape
@@ -1079,10 +1143,13 @@ def main() -> None:
         # the mining shape). Teacher rescoring is the declared dominant
         # mining cost (ref docs/overview/results-and-benchmarks.md:68,
         # ~100 ms/pair CPU).
-        tcfg = BertConfig.bge_reranker_large(compute_dtype=jnp.bfloat16)
+        if smoke:
+            tcfg = BertConfig.demo_teacher(compute_dtype=jnp.bfloat16)
+        else:
+            tcfg = BertConfig.bge_reranker_large(compute_dtype=jnp.bfloat16)
         tmod = CrossEncoder(tcfg)
         tparams = tmod.init(jax.random.PRNGKey(1), dummy, np.ones_like(dummy))
-        CB, CL = 64, 256
+        CB, CL = (2, 64) if smoke else (64, 256)
         t_ids = jnp.asarray(
             rng.integers(10, tcfg.vocab_size, (CB, CL)).astype(np.int32)
         )
