@@ -817,386 +817,397 @@ def main() -> None:
         "SSKD_BENCH_MODEL", "1" if backend == "tpu" else "0"
     ) == "1"
     if want_model:
-        import optax
+        # One failure anywhere in the model-side benches must not
+        # destroy the already-measured index record (round 3 lost its
+        # official record to an external failure): keep whatever
+        # sub-blocks completed and annotate the error.
+        try:
+            import optax
 
-        from sskd_tpu.kd.losses import combined_kd_loss
-        from sskd_tpu.models.bert import BertConfig, BiEncoder, CrossEncoder
+            from sskd_tpu.kd.losses import combined_kd_loss
+            from sskd_tpu.models.bert import BertConfig, BiEncoder, CrossEncoder
 
-        # the index corpora are done — free ~2GB HBM so the model benches
-        # (bge-large params are 2.2GB f32) have headroom
-        del c8, scales
-        corpus = None
+            # the index corpora are done — free ~2GB HBM so the model benches
+            # (bge-large params are 2.2GB f32) have headroom
+            del c8, scales
+            corpus = None
 
-        salt_src = iter(range(1, 1 << 20))
+            salt_src = iter(range(1, 1 << 20))
 
-        def fwd_slope_ms(module_apply, params, ids, *rest, n_hi: int = 6) -> float:
-            """ms per forward via an ids-CHAINED on-device fori_loop +
-            slope. THREE tunnel lies defeated here (each measured):
-            (1) async dispatch returning before execution — the final
-            readback forces completion; (2) host contention — the
-            t(n_hi)-t(1) slope cancels dispatch/readback overhead (a
-            host-driven loop measured 200 ms for a ~5 ms forward);
-            (3) the tunnel serves REPEATED IDENTICAL computations from a
-            result cache (trial 0 of a fixed-input loop cost 152.6 ms,
-            trials 1-2 ~1 ms) — an invisible-epsilon params perturbation
-            does NOT defeat it (x + 1e-18 underflows to x in f32, so the
-            computation stays bit-identical); instead iteration i+1's
-            token ids are derived from iteration i's output and a
-            per-dispatch seed, so every iteration AND every dispatch
-            computes on materially different data. The FULL output is
-            consumed (reducing only out[0] let XLA dead-code-eliminate
-            63 of 64 batch rows through the whole network: a 24L/1024H
-            B=64 forward "took" 1.8 ms)."""
+            def fwd_slope_ms(module_apply, params, ids, *rest, n_hi: int = 6) -> float:
+                """ms per forward via an ids-CHAINED on-device fori_loop +
+                slope. THREE tunnel lies defeated here (each measured):
+                (1) async dispatch returning before execution — the final
+                readback forces completion; (2) host contention — the
+                t(n_hi)-t(1) slope cancels dispatch/readback overhead (a
+                host-driven loop measured 200 ms for a ~5 ms forward);
+                (3) the tunnel serves REPEATED IDENTICAL computations from a
+                result cache (trial 0 of a fixed-input loop cost 152.6 ms,
+                trials 1-2 ~1 ms) — an invisible-epsilon params perturbation
+                does NOT defeat it (x + 1e-18 underflows to x in f32, so the
+                computation stays bit-identical); instead iteration i+1's
+                token ids are derived from iteration i's output and a
+                per-dispatch seed, so every iteration AND every dispatch
+                computes on materially different data. The FULL output is
+                consumed (reducing only out[0] let XLA dead-code-eliminate
+                63 of 64 batch rows through the whole network: a 24L/1024H
+                B=64 forward "took" 1.8 ms)."""
 
-            # n is a TRACED loop bound: one executable serves both the
-            # t(1) and t(n_hi) measurements (halves remote-compile time,
-            # which dominates the model block's wall clock)
-            @jax.jit
-            def chained(p, ids_in, seed, n, *a):
-                def body(i, carry):
-                    ids_c, acc = carry
-                    out = module_apply(p, ids_c, *a)
-                    total = out.astype(jnp.float32).sum()
-                    shift = (total * 0 + i + seed).astype(jnp.int32)
-                    ids_c = (ids_c + shift) % 1000 + 10
-                    return ids_c, acc + total
+                # n is a TRACED loop bound: one executable serves both the
+                # t(1) and t(n_hi) measurements (halves remote-compile time,
+                # which dominates the model block's wall clock)
+                @jax.jit
+                def chained(p, ids_in, seed, n, *a):
+                    def body(i, carry):
+                        ids_c, acc = carry
+                        out = module_apply(p, ids_c, *a)
+                        total = out.astype(jnp.float32).sum()
+                        shift = (total * 0 + i + seed).astype(jnp.int32)
+                        ids_c = (ids_c + shift) % 1000 + 10
+                        return ids_c, acc + total
 
-                _, acc = jax.lax.fori_loop(
-                    0, n, body, (ids_in, jnp.float32(0))
-                )
-                return acc
-
-            times = {}
-            # compile + settle (its own distinct seed)
-            float(chained(params, ids, jnp.float32(next(salt_src)),
-                          jnp.int32(1), *rest))
-            for n in (1, n_hi):
-                best = float("inf")
-                for _ in range(2):
-                    s = jnp.float32(next(salt_src))
-                    t0 = time.perf_counter()
-                    float(chained(params, ids, s, jnp.int32(n), *rest))
-                    best = min(best, time.perf_counter() - t0)
-                times[n] = best
-            return max(0.0, (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0)
-
-        dummy = np.zeros((1, 8), np.int32)
-        model_block = {}
-
-        # SSKD_BENCH_MODEL_SMOKE=1: tiny batches so the FULL model-block
-        # code path (incl. the flash/fused fallback plumbing) executes on
-        # CPU in seconds — flow validation for the unattended TPU run,
-        # never a performance record (the record annotates itself).
-        smoke = os.environ.get("SSKD_BENCH_MODEL_SMOKE", "0") == "1"
-        if smoke:
-            model_block["SMOKE"] = "shapes shrunk; timings meaningless"
-
-        # (a) student corpus-encode throughput: e5-small-v2 shape
-        # (12L/384H), bf16 compute, batch 256, L=512 (chunker max — the
-        # index-build worst case). Reference: GPU 2k-10k docs/s at bs
-        # 32-256 (ref docs/operations/scaling-and-performance.md:233-238).
-        ecfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
-        enc = BiEncoder(ecfg, normalize=True, pooling="mean")
-        eparams = enc.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
-
-        def tokens(B, L):
-            return (
-                jnp.asarray(
-                    rng.integers(1000, ecfg.vocab_size, (B, L)).astype(
-                        np.int32
+                    _, acc = jax.lax.fori_loop(
+                        0, n, body, (ids_in, jnp.float32(0))
                     )
-                ),
-                jnp.ones((B, L), np.int32),
-            )
+                    return acc
 
-        # corpus-encode throughput at two shapes: L=512 (chunker max, the
-        # index-build worst case) and L=128 (typical MS MARCO passage —
-        # the shape behind the reference's GPU 2k-10k docs/s table,
-        # ref docs/operations/scaling-and-performance.md:233-238)
-        def enc_flops(B, L):
-            return _bert_fwd_flops(
-                ecfg.num_layers, ecfg.hidden_size, ecfg.intermediate_size, B, L
-            )
+                times = {}
+                # compile + settle (its own distinct seed)
+                float(chained(params, ids, jnp.float32(next(salt_src)),
+                              jnp.int32(1), *rest))
+                for n in (1, n_hi):
+                    best = float("inf")
+                    for _ in range(2):
+                        s = jnp.float32(next(salt_src))
+                        t0 = time.perf_counter()
+                        float(chained(params, ids, s, jnp.int32(n), *rest))
+                        best = min(best, time.perf_counter() - t0)
+                    times[n] = best
+                return max(0.0, (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0)
 
-        # HBM traffic per forward ~= params (bf16) once per batch — weights
-        # dominate; activations stay fused/resident at these shapes
-        eparam_bytes = sum(
-            x.size for x in jax.tree.leaves(eparams)
-        ) * 2.0
+            dummy = np.zeros((1, 8), np.int32)
+            model_block = {}
 
-        model_block["student_encode"] = []
-        for EB, EL in ((8, 512), (8, 128)) if smoke else ((256, 512), (256, 128)):
-            ids, mask = tokens(EB, EL)
-            # auto dispatch (ops/attention.py): flash when XLA would
-            # materialize >256 MB of scores — i.e. the L=512 row. The
-            # reworked flash kernel must not be able to take the whole
-            # official record down with it (round 3 lost its record to
-            # an external failure): on ANY error retry pinned to XLA
-            # and annotate, so the record degrades instead of dying.
-            enc_err = None
-            try:
-                enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
-                attn_path = "auto"
-            except Exception as e:  # noqa: BLE001 — record, don't die
-                enc_err = str(e)[:200]
-                os.environ["SSKD_FLASH_ATTENTION"] = "0"
+            # SSKD_BENCH_MODEL_SMOKE=1: tiny batches so the FULL model-block
+            # code path (incl. the flash/fused fallback plumbing) executes on
+            # CPU in seconds — flow validation for the unattended TPU run,
+            # never a performance record (the record annotates itself).
+            smoke = os.environ.get("SSKD_BENCH_MODEL_SMOKE", "0") == "1"
+            if smoke:
+                model_block["SMOKE"] = "shapes shrunk; timings meaningless"
+
+            # (a) student corpus-encode throughput: e5-small-v2 shape
+            # (12L/384H), bf16 compute, batch 256, L=512 (chunker max — the
+            # index-build worst case). Reference: GPU 2k-10k docs/s at bs
+            # 32-256 (ref docs/operations/scaling-and-performance.md:233-238).
+            ecfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
+            enc = BiEncoder(ecfg, normalize=True, pooling="mean")
+            eparams = enc.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
+
+            def tokens(B, L):
+                return (
+                    jnp.asarray(
+                        rng.integers(1000, ecfg.vocab_size, (B, L)).astype(
+                            np.int32
+                        )
+                    ),
+                    jnp.ones((B, L), np.int32),
+                )
+
+            # corpus-encode throughput at two shapes: L=512 (chunker max, the
+            # index-build worst case) and L=128 (typical MS MARCO passage —
+            # the shape behind the reference's GPU 2k-10k docs/s table,
+            # ref docs/operations/scaling-and-performance.md:233-238)
+            def enc_flops(B, L):
+                return _bert_fwd_flops(
+                    ecfg.num_layers, ecfg.hidden_size, ecfg.intermediate_size, B, L
+                )
+
+            # HBM traffic per forward ~= params (bf16) once per batch — weights
+            # dominate; activations stay fused/resident at these shapes
+            eparam_bytes = sum(
+                x.size for x in jax.tree.leaves(eparams)
+            ) * 2.0
+
+            model_block["student_encode"] = []
+            for EB, EL in ((8, 512), (8, 128)) if smoke else ((256, 512), (256, 128)):
+                ids, mask = tokens(EB, EL)
+                # auto dispatch (ops/attention.py): flash when XLA would
+                # materialize >256 MB of scores — i.e. the L=512 row. The
+                # reworked flash kernel must not be able to take the whole
+                # official record down with it (round 3 lost its record to
+                # an external failure): on ANY error retry pinned to XLA
+                # and annotate, so the record degrades instead of dying.
+                enc_err = None
                 try:
                     enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
-                    attn_path = "xla (flash fallback)"
-                finally:
-                    os.environ.pop("SSKD_FLASH_ATTENTION", None)
-            point = {
-                "arch": "e5-small-v2 shape (12L/384H)",
-                "batch": EB,
-                "seq_len": EL,
-                "attention": attn_path,
-                "ms_per_batch": round(enc_ms, 2),
-                "docs_per_s": round(EB / (enc_ms / 1000.0), 1)
-                if enc_ms > 0
-                else 0.0,
-                "ref_gpu_docs_per_s": "2000-10000",
-                "roofline": _roofline(
-                    enc_flops(EB, EL), eparam_bytes, enc_ms, peaks, "bf16"
-                ),
-            }
-            if enc_err is not None:
-                point["flash_error"] = enc_err
-            model_block["student_encode"].append(point)
+                    attn_path = "auto"
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    enc_err = str(e)[:200]
+                    os.environ["SSKD_FLASH_ATTENTION"] = "0"
+                    try:
+                        enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
+                        attn_path = "xla (flash fallback)"
+                    finally:
+                        os.environ.pop("SSKD_FLASH_ATTENTION", None)
+                point = {
+                    "arch": "e5-small-v2 shape (12L/384H)",
+                    "batch": EB,
+                    "seq_len": EL,
+                    "attention": attn_path,
+                    "ms_per_batch": round(enc_ms, 2),
+                    "docs_per_s": round(EB / (enc_ms / 1000.0), 1)
+                    if enc_ms > 0
+                    else 0.0,
+                    "ref_gpu_docs_per_s": "2000-10000",
+                    "roofline": _roofline(
+                        enc_flops(EB, EL), eparam_bytes, enc_ms, peaks, "bf16"
+                    ),
+                }
+                if enc_err is not None:
+                    point["flash_error"] = enc_err
+                model_block["student_encode"].append(point)
 
-        # query-encode device latency at serving shape (B=1, L=64 bucket)
-        # — the reference's "~1 ms query encode" headline point (ref
-        # docs/overview/results-and-benchmarks.md:42-48). End-to-end
-        # serving latency (host+RTT included) is bench_serving.py's job.
-        # n_hi=96: a B=1 forward is ~30 µs — the chain must accumulate
-        # well above tunnel noise (a 16-iteration chain measured 0.0)
-        ids1, mask1 = tokens(1, 64)
-        q_ms = fwd_slope_ms(enc.apply, eparams, ids1, mask1,
-                            n_hi=4 if smoke else 96)
-        model_block["student_query_encode_b1_ms"] = round(q_ms, 4)
+            # query-encode device latency at serving shape (B=1, L=64 bucket)
+            # — the reference's "~1 ms query encode" headline point (ref
+            # docs/overview/results-and-benchmarks.md:42-48). End-to-end
+            # serving latency (host+RTT included) is bench_serving.py's job.
+            # n_hi=96: a B=1 forward is ~30 µs — the chain must accumulate
+            # well above tunnel noise (a 16-iteration chain measured 0.0)
+            ids1, mask1 = tokens(1, 64)
+            q_ms = fwd_slope_ms(enc.apply, eparams, ids1, mask1,
+                                n_hi=4 if smoke else 96)
+            model_block["student_query_encode_b1_ms"] = round(q_ms, 4)
 
-        # (b) KD train step: B=32 queries x N=8 docs, doc_len 192, query
-        # len 64 — the trainer's exact step math (jit, bf16 compute, adamw
-        # + clip, dropout active)
-        tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adamw(2e-5, weight_decay=0.01),
-        )
-        opt_state = tx.init(eparams)
-        TB_, TN, QL, DL = (2, 2, 32, 64) if smoke else (32, 8, 64, 192)
-
-        # same remat the production trainer uses (kd/train.py — without it
-        # the doc-tower backward OOMs v5e HBM at exactly this shape)
-        enc_remat = jax.checkpoint(
-            lambda p, ids, mask, rng: enc.apply(
-                p, ids, mask, deterministic=False, rngs={"dropout": rng}
+            # (b) KD train step: B=32 queries x N=8 docs, doc_len 192, query
+            # len 64 — the trainer's exact step math (jit, bf16 compute, adamw
+            # + clip, dropout active)
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(2e-5, weight_decay=0.01),
             )
-        )
+            opt_state = tx.init(eparams)
+            TB_, TN, QL, DL = (2, 2, 32, 64) if smoke else (32, 8, 64, 192)
 
-        def train_step(params, opt_state, batch, rng):
-            q_rng, d_rng = jax.random.split(rng)
-
-            def loss_fn(p):
-                q_emb = enc_remat(
-                    p, batch["query_ids"], batch["query_mask"], q_rng
+            # same remat the production trainer uses (kd/train.py — without it
+            # the doc-tower backward OOMs v5e HBM at exactly this shape)
+            enc_remat = jax.checkpoint(
+                lambda p, ids, mask, rng: enc.apply(
+                    p, ids, mask, deterministic=False, rngs={"dropout": rng}
                 )
-                B, N, L = batch["doc_ids"].shape
-                d_emb = enc_remat(
-                    p,
-                    batch["doc_ids"].reshape(B * N, L),
-                    batch["doc_mask"].reshape(B * N, L),
-                    d_rng,
-                ).reshape(B, N, -1)
-                scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
-                out = combined_kd_loss(
-                    scores, batch["teacher_scores"], batch["doc_valid"],
-                    temperature=3.0,
-                )
-                return out["loss"]
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt, loss
-
-
-        def make_kd_batch(seed):
-            r = np.random.default_rng(seed)
-            return {
-                "query_ids": jnp.asarray(
-                    r.integers(1000, ecfg.vocab_size, (TB_, QL)).astype(
-                        np.int32
-                    )
-                ),
-                "query_mask": jnp.ones((TB_, QL), jnp.int32),
-                "doc_ids": jnp.asarray(
-                    r.integers(1000, ecfg.vocab_size, (TB_, TN, DL)).astype(
-                        np.int32
-                    )
-                ),
-                "doc_mask": jnp.ones((TB_, TN, DL), jnp.int32),
-                "teacher_scores": jnp.asarray(
-                    r.uniform(-5, 5, (TB_, TN)).astype(np.float32)
-                ),
-                "doc_valid": jnp.ones((TB_, TN), jnp.bool_),
-            }
-
-        kd_batch = make_kd_batch(0)
-
-        # slope over an on-device multi-step loop: steps chain through
-        # params/opt_state, so the device must execute all of them; the
-        # t(n)-t(1) slope cancels dispatch + host overhead (a host-driven
-        # step-per-dispatch loop overstates the step by the tunnel RTT
-        # under CPU contention)
-        def _make_train_chained():
-            # fresh closure per call: the fallback path below re-jits so
-            # the SSKD_FUSED_DROPOUT_ATTN flip is seen at trace time
-            @jax.jit
-            def train_chained(params, opt_state, batch, rng, n):
-                def body(i, carry):
-                    p, o = carry
-                    p, o, _ = train_step(
-                        p, o, batch, jax.random.fold_in(rng, i)
-                    )
-                    return (p, o)
-
-                p, o = jax.lax.fori_loop(0, n, body, (params, opt_state))
-                return jax.tree.leaves(p)[0].reshape(-1)[0]
-
-            return train_chained
-
-        # distinct rng per dispatch: identical repeated dispatches are
-        # served from the tunnel's result cache (see fwd_slope_ms);
-        # n is traced — one executable for both measurement points.
-        # rbg key = the trainer's default (TrainingConfig.rng_impl):
-        # hardware RngBitGenerator dropout bits, 473.6 -> 429.3 ms/step
-        # vs threefry at this exact shape
-        rng_key = jax.random.key(7, impl="rbg")
-
-        def measure_train_ms():
-            train_chained = _make_train_chained()
-            float(train_chained(eparams, opt_state, kd_batch,
-                                jax.random.fold_in(rng_key, next(salt_src)),
-                                jnp.int32(1)))
-            t_times = {}
-            for n in (1, 5):
-                best = float("inf")
-                for _ in range(2):
-                    r = jax.random.fold_in(rng_key, next(salt_src))
-                    t0 = time.perf_counter()
-                    float(train_chained(eparams, opt_state, kd_batch, r,
-                                        jnp.int32(n)))
-                    best = min(best, time.perf_counter() - t0)
-                t_times[n] = best
-            return max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
-
-        # Fused dropout-attention is the TPU default (models/bert.py);
-        # like the flash fallback above, a kernel failure must degrade
-        # the record, not destroy it — retry on the materialized-probs
-        # path and annotate. train_chained re-jits inside the retry so
-        # the env flip is seen at trace time.
-        train_err = None
-        try:
-            step_ms = measure_train_ms()
-            train_attn = (
-                "fused dropout-attention (default)"
-                if backend == "tpu"
-                else "materialized probs (non-TPU)"
             )
-        except Exception as e:  # noqa: BLE001 — record, don't die
-            train_err = str(e)[:200]
-            os.environ["SSKD_FUSED_DROPOUT_ATTN"] = "0"
+
+            def train_step(params, opt_state, batch, rng):
+                q_rng, d_rng = jax.random.split(rng)
+
+                def loss_fn(p):
+                    q_emb = enc_remat(
+                        p, batch["query_ids"], batch["query_mask"], q_rng
+                    )
+                    B, N, L = batch["doc_ids"].shape
+                    d_emb = enc_remat(
+                        p,
+                        batch["doc_ids"].reshape(B * N, L),
+                        batch["doc_mask"].reshape(B * N, L),
+                        d_rng,
+                    ).reshape(B, N, -1)
+                    scores = jnp.einsum("bh,bnh->bn", q_emb, d_emb)
+                    out = combined_kd_loss(
+                        scores, batch["teacher_scores"], batch["doc_valid"],
+                        temperature=3.0,
+                    )
+                    return out["loss"]
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt, loss
+
+
+            def make_kd_batch(seed):
+                r = np.random.default_rng(seed)
+                return {
+                    "query_ids": jnp.asarray(
+                        r.integers(1000, ecfg.vocab_size, (TB_, QL)).astype(
+                            np.int32
+                        )
+                    ),
+                    "query_mask": jnp.ones((TB_, QL), jnp.int32),
+                    "doc_ids": jnp.asarray(
+                        r.integers(1000, ecfg.vocab_size, (TB_, TN, DL)).astype(
+                            np.int32
+                        )
+                    ),
+                    "doc_mask": jnp.ones((TB_, TN, DL), jnp.int32),
+                    "teacher_scores": jnp.asarray(
+                        r.uniform(-5, 5, (TB_, TN)).astype(np.float32)
+                    ),
+                    "doc_valid": jnp.ones((TB_, TN), jnp.bool_),
+                }
+
+            kd_batch = make_kd_batch(0)
+
+            # slope over an on-device multi-step loop: steps chain through
+            # params/opt_state, so the device must execute all of them; the
+            # t(n)-t(1) slope cancels dispatch + host overhead (a host-driven
+            # step-per-dispatch loop overstates the step by the tunnel RTT
+            # under CPU contention)
+            def _make_train_chained():
+                # fresh closure per call: the fallback path below re-jits so
+                # the SSKD_FUSED_DROPOUT_ATTN flip is seen at trace time
+                @jax.jit
+                def train_chained(params, opt_state, batch, rng, n):
+                    def body(i, carry):
+                        p, o = carry
+                        p, o, _ = train_step(
+                            p, o, batch, jax.random.fold_in(rng, i)
+                        )
+                        return (p, o)
+
+                    p, o = jax.lax.fori_loop(0, n, body, (params, opt_state))
+                    return jax.tree.leaves(p)[0].reshape(-1)[0]
+
+                return train_chained
+
+            # distinct rng per dispatch: identical repeated dispatches are
+            # served from the tunnel's result cache (see fwd_slope_ms);
+            # n is traced — one executable for both measurement points.
+            # rbg key = the trainer's default (TrainingConfig.rng_impl):
+            # hardware RngBitGenerator dropout bits, 473.6 -> 429.3 ms/step
+            # vs threefry at this exact shape
+            rng_key = jax.random.key(7, impl="rbg")
+
+            def measure_train_ms():
+                train_chained = _make_train_chained()
+                float(train_chained(eparams, opt_state, kd_batch,
+                                    jax.random.fold_in(rng_key, next(salt_src)),
+                                    jnp.int32(1)))
+                t_times = {}
+                for n in (1, 5):
+                    best = float("inf")
+                    for _ in range(2):
+                        r = jax.random.fold_in(rng_key, next(salt_src))
+                        t0 = time.perf_counter()
+                        float(train_chained(eparams, opt_state, kd_batch, r,
+                                            jnp.int32(n)))
+                        best = min(best, time.perf_counter() - t0)
+                    t_times[n] = best
+                return max(0.0, (t_times[5] - t_times[1]) / 4 * 1000.0)
+
+            # Fused dropout-attention is the TPU default (models/bert.py);
+            # like the flash fallback above, a kernel failure must degrade
+            # the record, not destroy it — retry on the materialized-probs
+            # path and annotate. train_chained re-jits inside the retry so
+            # the env flip is seen at trace time.
+            train_err = None
             try:
                 step_ms = measure_train_ms()
-                train_attn = "materialized probs (fused fallback)"
-            finally:
-                os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
-        # train FLOPs = 4x the tower forwards: fwd (1x) + remat recompute
-        # during backward (1x) + backward (2x). Towers: query [B, QL] and
-        # docs [B*N, DL]; loss/optimizer FLOPs are negligible at 33M params.
-        train_flops = 4.0 * (
-            enc_flops(TB_, QL) + enc_flops(TB_ * TN, DL)
-        )
-        model_block["train_step"] = {
-            "batch": TB_,
-            "num_docs": TN,
-            "query_len": QL,
-            "doc_len": DL,
-            "attention": train_attn,
-            "ms_per_step": round(step_ms, 2),
-            "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
-            "roofline": _roofline(
-                train_flops,
-                # params read fwd + recompute + grad-write + adamw m/v/p
-                # read-write: ~8 param-passes at bf16-compute/f32-state
-                eparam_bytes * 8.0,
-                step_ms,
-                peaks,
-                "bf16",
-            ),
-            "flops_model": "4x tower fwd (fwd + remat recompute + 2x bwd)",
-        }
-        if train_err is not None:
-            model_block["train_step"]["fused_error"] = train_err
-        del kd_batch, eparams, opt_state
-
-        # (c) teacher rescoring throughput: bge-reranker-large shape
-        # (24L/1024H/250k vocab), bf16, B=64, L=256 (query 64 + doc 192 —
-        # the mining shape). Teacher rescoring is the declared dominant
-        # mining cost (ref docs/overview/results-and-benchmarks.md:68,
-        # ~100 ms/pair CPU).
-        if smoke:
-            tcfg = BertConfig.demo_teacher(compute_dtype=jnp.bfloat16)
-        else:
-            tcfg = BertConfig.bge_reranker_large(compute_dtype=jnp.bfloat16)
-        tmod = CrossEncoder(tcfg)
-        tparams = tmod.init(jax.random.PRNGKey(1), dummy, np.ones_like(dummy))
-        CB, CL = (2, 64) if smoke else (64, 256)
-        t_ids = jnp.asarray(
-            rng.integers(10, tcfg.vocab_size, (CB, CL)).astype(np.int32)
-        )
-        t_ms = fwd_slope_ms(
-            tmod.apply,
-            tparams,
-            t_ids,
-            jnp.ones((CB, CL), np.int32),
-            jnp.zeros((CB, CL), np.int32),
-        )
-        tparam_bytes = sum(x.size for x in jax.tree.leaves(tparams)) * 2.0
-        model_block["teacher_score"] = {
-            "arch": "bge-reranker-large shape (24L/1024H)",
-            "batch": CB,
-            "seq_len": CL,
-            "ms_per_batch": round(t_ms, 2),
-            "pairs_per_s": round(CB / (t_ms / 1000.0), 1),
-            "ref_cpu_ms_per_pair": 100,
-            "roofline": _roofline(
-                _bert_fwd_flops(
-                    tcfg.num_layers, tcfg.hidden_size,
-                    tcfg.intermediate_size, CB, CL,
-                ),
-                tparam_bytes,
-                t_ms,
-                peaks,
-                "bf16",
-            ),
-        }
-        del tparams
-
-        # (d) host-side tokenizer throughput (the encode path's host
-        # stage; C++ WordPiece core when built)
-        from sskd_tpu.tokenization import get_default_tokenizer
-
-        tok = get_default_tokenizer()
-        docs = [
-            "passage: " + " ".join(
-                f"token{(i * 37 + j) % 997}" for j in range(160)
+                train_attn = (
+                    "fused dropout-attention (default)"
+                    if backend == "tpu"
+                    else "materialized probs (non-TPU)"
+                )
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                train_err = str(e)[:200]
+                os.environ["SSKD_FUSED_DROPOUT_ATTN"] = "0"
+                try:
+                    step_ms = measure_train_ms()
+                    train_attn = "materialized probs (fused fallback)"
+                finally:
+                    os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
+            # train FLOPs = 4x the tower forwards: fwd (1x) + remat recompute
+            # during backward (1x) + backward (2x). Towers: query [B, QL] and
+            # docs [B*N, DL]; loss/optimizer FLOPs are negligible at 33M params.
+            train_flops = 4.0 * (
+                enc_flops(TB_, QL) + enc_flops(TB_ * TN, DL)
             )
-            for i in range(256)
-        ]
-        tok.encode_batch(docs[:8], max_length=512, pad_to=512)  # warm
-        t0 = time.perf_counter()
-        tok.encode_batch(docs, max_length=512, pad_to=512)
-        tok_s = time.perf_counter() - t0
-        model_block["tokenizer_docs_per_s"] = round(len(docs) / tok_s, 1)
+            model_block["train_step"] = {
+                "batch": TB_,
+                "num_docs": TN,
+                "query_len": QL,
+                "doc_len": DL,
+                "attention": train_attn,
+                "ms_per_step": round(step_ms, 2),
+                "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
+                "roofline": _roofline(
+                    train_flops,
+                    # params read fwd + recompute + grad-write + adamw m/v/p
+                    # read-write: ~8 param-passes at bf16-compute/f32-state
+                    eparam_bytes * 8.0,
+                    step_ms,
+                    peaks,
+                    "bf16",
+                ),
+                "flops_model": "4x tower fwd (fwd + remat recompute + 2x bwd)",
+            }
+            if train_err is not None:
+                model_block["train_step"]["fused_error"] = train_err
+            del kd_batch, eparams, opt_state
+
+            # (c) teacher rescoring throughput: bge-reranker-large shape
+            # (24L/1024H/250k vocab), bf16, B=64, L=256 (query 64 + doc 192 —
+            # the mining shape). Teacher rescoring is the declared dominant
+            # mining cost (ref docs/overview/results-and-benchmarks.md:68,
+            # ~100 ms/pair CPU).
+            if smoke:
+                tcfg = BertConfig.demo_teacher(compute_dtype=jnp.bfloat16)
+            else:
+                tcfg = BertConfig.bge_reranker_large(compute_dtype=jnp.bfloat16)
+            tmod = CrossEncoder(tcfg)
+            tparams = tmod.init(jax.random.PRNGKey(1), dummy, np.ones_like(dummy))
+            CB, CL = (2, 64) if smoke else (64, 256)
+            t_ids = jnp.asarray(
+                rng.integers(10, tcfg.vocab_size, (CB, CL)).astype(np.int32)
+            )
+            t_ms = fwd_slope_ms(
+                tmod.apply,
+                tparams,
+                t_ids,
+                jnp.ones((CB, CL), np.int32),
+                jnp.zeros((CB, CL), np.int32),
+            )
+            tparam_bytes = sum(x.size for x in jax.tree.leaves(tparams)) * 2.0
+            model_block["teacher_score"] = {
+                "arch": "bge-reranker-large shape (24L/1024H)",
+                "batch": CB,
+                "seq_len": CL,
+                "ms_per_batch": round(t_ms, 2),
+                "pairs_per_s": round(CB / (t_ms / 1000.0), 1),
+                "ref_cpu_ms_per_pair": 100,
+                "roofline": _roofline(
+                    _bert_fwd_flops(
+                        tcfg.num_layers, tcfg.hidden_size,
+                        tcfg.intermediate_size, CB, CL,
+                    ),
+                    tparam_bytes,
+                    t_ms,
+                    peaks,
+                    "bf16",
+                ),
+            }
+            del tparams
+
+            # (d) host-side tokenizer throughput (the encode path's host
+            # stage; C++ WordPiece core when built)
+            from sskd_tpu.tokenization import get_default_tokenizer
+
+            tok = get_default_tokenizer()
+            docs = [
+                "passage: " + " ".join(
+                    f"token{(i * 37 + j) % 997}" for j in range(160)
+                )
+                for i in range(256)
+            ]
+            tok.encode_batch(docs[:8], max_length=512, pad_to=512)  # warm
+            t0 = time.perf_counter()
+            tok.encode_batch(docs, max_length=512, pad_to=512)
+            tok_s = time.perf_counter() - t0
+            model_block["tokenizer_docs_per_s"] = round(len(docs) / tok_s, 1)
+        except Exception as e:  # noqa: BLE001 — salvage the record
+            if model_block is None:
+                model_block = {}
+            model_block["error"] = (
+                f"model-side bench aborted: {str(e)[:300]}"
+            )
 
     qps = batch / (approx_ms / 1000.0) if approx_ms > 0 else 0.0
     headline_roofline = sweep_roofline(rows, batch, approx_ms, 1, "int8")
