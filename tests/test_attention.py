@@ -42,6 +42,32 @@ def test_flash_matches_xla_with_padding_mask():
     np.testing.assert_allclose(flash_np[1, :, :64], xla_np[1, :, :64], atol=2e-5)
 
 
+def test_flash_auto_group_at_e5_encode_shape_bf16():
+    """The exact shape the L=512 corpus-encode auto-dispatch hits on TPU
+    (e5-small: h=12, d=32, bf16, default blocks, auto head-group): the
+    picker must return a divisor of h and the packed kernel must match
+    XLA within bf16 tolerance. De-risks the unattended TPU bench run."""
+    from sskd_tpu.ops.attention import _pick_head_group
+
+    B, h, L, d = 2, 12, 512, 32
+    G = _pick_head_group(h, L, d, 256, 256, jnp.dtype(jnp.bfloat16).itemsize)
+    assert h % G == 0 and G >= 1
+
+    rng = np.random.default_rng(7)
+    q, k, v = _qkv(rng, B, h, L, d)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mask = np.ones((B, L), np.int32)
+    mask[1, 384:] = 0
+    out = flash_attention(qb, kb, vb, jnp.asarray(mask), interpret=True)
+    assert out.dtype == jnp.bfloat16
+    bias = (1.0 - mask[:, None, None, :].astype(np.float32)) * (-1e9)
+    ref = xla_attention(qb, kb, vb, jnp.asarray(bias))
+    out_np = np.asarray(out, np.float32)
+    ref_np = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(out_np[0], ref_np[0], atol=3e-2)
+    np.testing.assert_allclose(out_np[1, :, :384], ref_np[1, :, :384], atol=3e-2)
+
+
 def test_flash_head_group_packing_matches_unpacked():
     """G heads per program must give the same numbers as one-head
     programs (the packing only batches the dots)."""
