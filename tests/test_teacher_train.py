@@ -77,3 +77,31 @@ class TestTeacherTrainer:
         pos_scores = teacher.score(pos)
         neg_scores = teacher.score(neg)
         assert np.mean(pos_scores) > np.mean(neg_scores)
+
+    def test_rng_impl_honored_and_reproducible(self, raw_jsonl):
+        """The dropout-key PRNG impl knob must reach the teacher trainer:
+        the demo acceptance gate is calibrated against the threefry draw
+        (scripts/run_demo_pipeline.sh pins it), and an ignored knob would
+        silently train a different — measured less distillable — teacher."""
+        import jax
+
+        triples = triples_from_raw(raw_jsonl)[:64]
+        texts = sorted({q for q, _, _ in triples} | {d for _, d, _ in triples})
+        tok = WordPieceTokenizer.build_from_corpus(texts, vocab_size=1024)
+
+        def run(impl):
+            teacher = TeacherModel(
+                "t-rng",
+                config=BertConfig.tiny(vocab_size=tok.vocab_size),
+                tokenizer=tok,
+            )
+            TeacherTrainer(teacher, learning_rate=1e-3, seed=0, rng_impl=impl).train(
+                triples, steps=4, batch_size=16, max_len=32, eval_frac=0.0
+            )
+            return jax.tree.leaves(teacher.params)
+
+        a, b, c = run("threefry2x32"), run("threefry2x32"), run("rbg")
+        # same impl + seed -> bit-identical weights
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        # a different impl is a different dropout draw -> different weights
+        assert any(not np.array_equal(x, y) for x, y in zip(a, c))
