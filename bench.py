@@ -989,12 +989,22 @@ def main() -> None:
             opt_state = tx.init(eparams)
             TB_, TN, QL, DL = (2, 2, 32, 64) if smoke else (32, 8, 64, 192)
 
-            # same remat the production trainer uses (kd/train.py — without it
-            # the doc-tower backward OOMs v5e HBM at exactly this shape)
-            enc_remat = jax.checkpoint(
-                lambda p, ids, mask, rng: enc.apply(
-                    p, ids, mask, deterministic=False, rngs={"dropout": rng}
+            # same remat the production trainer uses (kd/train.py honors
+            # training.remat_policy; without remat the doc-tower backward
+            # OOMs v5e HBM at exactly this shape) — read the SHIPPED default
+            # so the official record always measures the production config
+            from sskd_tpu.config import TrainingConfig
+
+            _remat_policy = TrainingConfig().remat_policy
+            _enc_fwd = lambda p, ids, mask, rng: enc.apply(  # noqa: E731
+                p, ids, mask, deterministic=False, rngs={"dropout": rng}
+            )
+            enc_remat = (
+                jax.checkpoint(
+                    _enc_fwd, policy=jax.checkpoint_policies.checkpoint_dots
                 )
+                if _remat_policy == "dots"
+                else jax.checkpoint(_enc_fwd)
             )
 
             def train_step(params, opt_state, batch, rng):
@@ -1114,10 +1124,13 @@ def main() -> None:
                     train_attn = "materialized probs (fused fallback)"
                 finally:
                     os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
-            # train FLOPs = 4x the tower forwards: fwd (1x) + remat recompute
-            # during backward (1x) + backward (2x). Towers: query [B, QL] and
-            # docs [B*N, DL]; loss/optimizer FLOPs are negligible at 33M params.
-            train_flops = 4.0 * (
+            # train FLOPs per policy: fwd (1x) + backward (2x) + remat
+            # recompute — full recomputes the whole tower (1x more), dots
+            # keeps matmul outputs and recomputes elementwise only (~0.3x).
+            # Towers: query [B, QL] and docs [B*N, DL]; loss/optimizer FLOPs
+            # are negligible at 33M params.
+            _flops_mult = {"full": 4.0, "dots": 3.3}[_remat_policy]
+            train_flops = _flops_mult * (
                 enc_flops(TB_, QL) + enc_flops(TB_ * TN, DL)
             )
             model_block["train_step"] = {
@@ -1126,6 +1139,7 @@ def main() -> None:
                 "query_len": QL,
                 "doc_len": DL,
                 "attention": train_attn,
+                "remat_policy": _remat_policy,
                 "ms_per_step": round(step_ms, 2),
                 "queries_per_s": round(TB_ / (step_ms / 1000.0), 1),
                 "roofline": _roofline(
@@ -1137,7 +1151,10 @@ def main() -> None:
                     peaks,
                     "bf16",
                 ),
-                "flops_model": "4x tower fwd (fwd + remat recompute + 2x bwd)",
+                "flops_model": (
+                    f"{_flops_mult}x tower fwd (fwd + {_remat_policy}-remat "
+                    "recompute + 2x bwd)"
+                ),
             }
             if train_err is not None:
                 model_block["train_step"]["fused_error"] = train_err
