@@ -944,12 +944,17 @@ def main() -> None:
                     attn_path = "auto"
                 except Exception as e:  # noqa: BLE001 — record, don't die
                     enc_err = str(e)[:200]
+                    # restore (not delete) any caller-set value afterwards
+                    prev_flash = os.environ.get("SSKD_FLASH_ATTENTION")
                     os.environ["SSKD_FLASH_ATTENTION"] = "0"
                     try:
                         enc_ms = fwd_slope_ms(enc.apply, eparams, ids, mask)
                         attn_path = "xla (flash fallback)"
                     finally:
-                        os.environ.pop("SSKD_FLASH_ATTENTION", None)
+                        if prev_flash is None:
+                            os.environ.pop("SSKD_FLASH_ATTENTION", None)
+                        else:
+                            os.environ["SSKD_FLASH_ATTENTION"] = prev_flash
                 point = {
                     "arch": "e5-small-v2 shape (12L/384H)",
                     "batch": EB,
@@ -1118,12 +1123,16 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001 — record, don't die
                 train_err = str(e)[:200]
+                prev_fused = os.environ.get("SSKD_FUSED_DROPOUT_ATTN")
                 os.environ["SSKD_FUSED_DROPOUT_ATTN"] = "0"
                 try:
                     step_ms = measure_train_ms()
                     train_attn = "materialized probs (fused fallback)"
                 finally:
-                    os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
+                    if prev_fused is None:
+                        os.environ.pop("SSKD_FUSED_DROPOUT_ATTN", None)
+                    else:
+                        os.environ["SSKD_FUSED_DROPOUT_ATTN"] = prev_fused
             # train FLOPs per policy: fwd (1x) + backward (2x) + remat
             # recompute — full recomputes the whole tower (1x more), dots
             # keeps matmul outputs and recomputes elementwise only (~0.3x).

@@ -206,12 +206,11 @@ class KDEvaluator:
 
         # one flat teacher dispatch over all (query, candidate) pairs:
         # Q x k pairs ride the batched cross-encoder, not a per-query loop
-        pairs, owners = [], []
+        pairs = []
         for qi, qid in enumerate(qids):
             for di in top_idx[qi]:
                 if di >= 0:
                     pairs.append((queries[qid], corpus[doc_ids[di]]))
-                    owners.append(qi)
         flat_scores = np.asarray(teacher.score(pairs, batch_size=batch_size))
 
         results: dict[str, list[float]] = {}
@@ -227,7 +226,11 @@ class KDEvaluator:
                 float(rels.get(doc_ids[cand[i]], 0.0)) for i in order
             ]
             total_relevant[qid] = sum(1 for v in rels.values() if v > 0)
-        return compute_retrieval_metrics(results, total_relevant, ks=self.k_values)
+        # the reranked list only contains rerank_k candidates: metrics at
+        # k > rerank_k would silently be computed on a truncated list and
+        # read as comparable to the full-retrieval arms beside them
+        ks = [k for k in self.k_values if k <= rerank_k] or [rerank_k]
+        return compute_retrieval_metrics(results, total_relevant, ks=ks)
 
     # ------------------------------------------------------------------
 

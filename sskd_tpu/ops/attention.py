@@ -130,6 +130,13 @@ def flash_attention(
         mask = jnp.ones((B, L), dtype=jnp.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and L % 128:
+        # On the compiled TPU path a non-lane-aligned block fails (or blows
+        # VMEM) deep inside Mosaic; fail here with a clear message instead.
+        raise ValueError(
+            f"flash_attention requires L % 128 == 0 on TPU (got L={L}); "
+            "pad the sequence or use the XLA path"
+        )
     block_q = min(block_q, L)
     block_k = min(block_k, L)
     if L % block_q:  # fall back to a single q block for odd lengths
@@ -437,6 +444,38 @@ def dropout_attention(q, k, v, bias, p: float, seed, interpret: bool | None = No
     return _fused_dropout_attention(float(p), bool(interpret), q, k, v, bias, seed)
 
 
+@jax.custom_vjp
+def _flash_attention_diff(q, k, v, mask, bias):
+    return flash_attention(q, k, v, mask)
+
+
+def _flash_diff_fwd(q, k, v, mask, bias):
+    return flash_attention(q, k, v, mask), (q, k, v, mask, bias)
+
+
+def _flash_diff_bwd(res, g):
+    # Backward falls back to the XLA attention VJP: flash_attention is a
+    # bare pallas_call with no transpose rule, and training reaches this
+    # dispatcher whenever attention_dropout == 0 (bert.py). Recomputing
+    # through xla_attention costs one [B, h, L, L] materialization in the
+    # backward only — the flash forward still never spills scores to HBM.
+    import numpy as np
+
+    q, k, v, mask, bias = res
+    _, pullback = jax.vjp(lambda a, b, c: xla_attention(a, b, c, bias), q, k, v)
+    dq, dk, dv = pullback(g)
+    return (
+        dq,
+        dk,
+        dv,
+        np.zeros(mask.shape, jax.dtypes.float0),  # int keep-mask: no grad
+        jnp.zeros_like(bias),  # additive pad mask: constant input
+    )
+
+
+_flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
     """Dispatching attention: Pallas flash on TPU when enabled, XLA otherwise.
 
@@ -448,6 +487,11 @@ def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
     tensor in HBM (B*h*L*L f32 > 256 MB and L >= 384: at B=256/L=512 the
     e5 encode path writes+reads ~3.2 GB of scores PER LAYER, which is
     what pinned the L=512 encode at ~20% MFU — VERDICT r3 weak #2).
+
+    Differentiable on every path: the flash branch carries a custom VJP
+    whose backward is the XLA attention pullback, so jax.grad through a
+    large-batch deterministic encode (KD / teacher fine-tune with
+    attention_dropout == 0) no longer fails at trace time.
     """
     if use_flash is None:
         env = os.environ.get("SSKD_FLASH_ATTENTION")
@@ -458,9 +502,12 @@ def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
             score_bytes = 4.0 * B * h * L * L
             use_flash = L >= 384 and L % 128 == 0 and score_bytes > 256e6
     if use_flash and jax.default_backend() == "tpu":
+        B, _, L, _ = q.shape
         if bias is None:
-            mask = None
+            mask = jnp.ones((B, L), dtype=jnp.int32)
+            bias_arr = jnp.zeros((B, 1, 1, L), jnp.float32)
         else:
             mask = (bias[:, 0, 0, :] >= -1.0).astype(jnp.int32)  # [B, L]
-        return flash_attention(q, k, v, mask)
+            bias_arr = jax.lax.stop_gradient(bias)
+        return _flash_attention_diff(q, k, v, mask, bias_arr)
     return xla_attention(q, k, v, bias)

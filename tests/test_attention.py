@@ -110,6 +110,41 @@ def test_flash_odd_length_single_block_fallback():
     )
 
 
+def test_flash_diff_gradients_match_xla_autodiff():
+    """The flash dispatcher path is differentiable: its custom VJP falls
+    back to the XLA attention pullback, so jax.grad through an
+    auto-dispatched deterministic encode (attention_dropout == 0 at
+    L >= 384, large batch) no longer fails at trace time (ADVICE r4 medium:
+    grad over a bare pallas_call has no transpose rule)."""
+    import jax
+
+    from sskd_tpu.ops.attention import _flash_attention_diff
+
+    rng = np.random.default_rng(7)
+    B, h, L, d = 2, 2, 128, 16
+    q, k, v = _qkv(rng, B, h, L, d)
+    mask_np = np.ones((B, L), np.int32)
+    mask_np[0, 96:] = 0
+    mask = jnp.asarray(mask_np)
+    bias = jnp.asarray(
+        (1.0 - mask_np[:, None, None, :].astype(np.float32)) * (-1e9)
+    )
+    # weight the loss away from padded query rows so masked-position
+    # outputs (which flash and XLA define differently) don't contribute
+    w = jnp.asarray(mask_np.astype(np.float32))[:, None, :, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(w * _flash_attention_diff(q, k, v, mask, bias) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(w * xla_attention(q, k, v, bias) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=3e-5)
+
+
 # ---------------------------------------------------------------------------
 # Fused training attention (softmax + in-kernel PRNG dropout + PV)
 # ---------------------------------------------------------------------------
