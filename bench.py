@@ -656,6 +656,12 @@ def main() -> None:
             ),
             "projected_p50_ms_10m_8shard": round(projected_p50, 3),
             "projected_formula": "b1_sweep/8 + measured_merge + ici_bytes/bw",
+            # every projection input except this one is a fresh measurement;
+            # keep shouting "projection" until a pod exists (VERDICT r4 #5)
+            "estimated_terms": [
+                "allgather_est_ms_b1: v5e ICI ~100 GB/s bandwidth model "
+                "(no multi-chip hardware in this environment)"
+            ],
             # encode term (fused minus bare sweep) does not shard: it runs
             # replicated, so the 8-shard fused projection keeps it whole
             "projected_fused_p50_ms_10m_8shard": (

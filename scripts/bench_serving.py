@@ -141,6 +141,27 @@ def main(argv=None) -> int:
 
     seq = sorted(hit(i)[0] for i in range(30))
     best = max(by_level, key=lambda r: r["req_per_s"])
+
+    # Device-dispatch floor: on this host the TPU rides a tunnel whose
+    # round-trip dominates small ops (documented timing-artifact mode —
+    # docs/operations/runbook). Measure the per-dispatch floor with a
+    # 1-element device op so the record can subtract it explicitly; on a
+    # local chip this measures dispatch overhead (~0.1 ms) and the
+    # subtraction is a no-op. VERDICT r4 item 4.
+    import jax
+
+    tiny = jnp.ones((1,), jnp.float32)
+    tiny_fn = jax.jit(lambda x: x + 1.0)
+    tiny_fn(tiny).block_until_ready()  # compile outside the timed loop
+    floors = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        tiny_fn(tiny).block_until_ready()
+        floors.append((time.perf_counter() - t0) * 1000)
+    floor_ms = round(sorted(floors)[len(floors) // 2], 2)
+    # the /search path costs ~2 device dispatches (encode, sweep) unless
+    # the fused searcher collapses them to 1
+    seq_p50 = round(seq[len(seq) // 2], 1)
     report = {
         "metric": "serving_req_per_s",
         "value": best["req_per_s"],
@@ -150,7 +171,12 @@ def main(argv=None) -> int:
             "dtype": args.dtype,
             "student_arch": (args.model or args.arch),
             "requests_per_level": args.requests,
-            "sequential_p50_ms": round(seq[len(seq) // 2], 1),
+            "sequential_p50_ms": seq_p50,
+            "device_dispatch_floor_ms": floor_ms,
+            "backend": jax.default_backend(),
+            "sequential_p50_ms_minus_2x_floor": round(
+                max(0.0, seq_p50 - 2 * floor_ms), 1
+            ),
             "by_concurrency": by_level,
             "all_correct": all_correct,
             "reference": {

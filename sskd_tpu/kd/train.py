@@ -226,6 +226,13 @@ class KDTrainer:
         selection yields ~0.85. Positive placement outweighs any
         negative reordering by the 1.0 / _GRADE_WEIGHT ratio.
         Corpus-level eval with real qrels remains ``dev_evaluator``'s job.
+
+        The 0.25 weight is additionally validated OFF the demo
+        distribution: scripts/ablate_grade_weight.py sweeps w on a
+        near-duplicate-negatives + noisy-teacher distribution across
+        seeds and blended selection beats both pure signals on every
+        seed (artifacts/ablation/grade_weight_r5.json, pinned by
+        tests/test_grade_weight_ablation.py).
         """
         n_docs = max(self.cfg.num_docs_per_query, 10)
         old = self.student.params

@@ -236,6 +236,34 @@ def test_dropout_attention_p_positive_requires_tpu():
         dropout_attention(q, k, v, bias_rows, 0.1, jnp.asarray(1, jnp.int32), interpret=True)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="compiled flash kernel needs a real TPU")
+def test_flash_dispatch_grad_compiles_on_tpu():
+    """jax.grad through the COMPILED flash dispatch path: the custom VJP
+    must let a deterministic large-batch encode train on device (ADVICE
+    r4 medium). Values pin against XLA autodiff at the same inputs."""
+    from sskd_tpu.ops.attention import scaled_dot_attention
+
+    rng = np.random.default_rng(9)
+    B, h, L, d = 2, 4, 384, 32
+    q, k, v = _qkv(rng, B, h, L, d)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+
+    def loss(fn):
+        def inner(q_, k_, v_):
+            return jnp.sum(fn(q_, k_, v_) ** 2)
+
+        return inner
+
+    flash_fn = loss(lambda a, b, c: scaled_dot_attention(a, b, c, bias, use_flash=True))
+    xla_fn = loss(lambda a, b, c: scaled_dot_attention(a, b, c, bias, use_flash=False))
+    g_flash = jax.jit(jax.grad(flash_fn, argnums=(0, 1, 2)))(q, k, v)
+    g_xla = jax.jit(jax.grad(xla_fn, argnums=(0, 1, 2)))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-2, rtol=1e-2
+        )
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="in-kernel PRNG needs a real TPU")
 def test_fused_dropout_attention_tpu():
     """On-chip: determinism (same seed -> same mask), keep-rate ~ 1-p,
