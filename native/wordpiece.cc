@@ -14,10 +14,13 @@
 //
 // Build: make -C native   (emits libwordpiece.so)
 
+#include <algorithm>
+#include <atomic>
 #include <cstddef>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -95,6 +98,56 @@ bool wordpiece(const Vocab& vocab, const std::string& word, int word_start,
   return true;
 }
 
+// Full basic-tokenize + WordPiece over one ASCII text, appending ids (and
+// offsets when non-null). Shared by the single-text and batch entry points.
+void tokenize_text(const Vocab& vocab, const char* text, size_t len,
+                   int lowercase, std::vector<int>* ids,
+                   std::vector<int>* offsets, std::string* word_scratch) {
+  std::string& word = *word_scratch;
+  word.clear();
+  int word_start = -1;
+  auto flush = [&](int end_pos) {
+    if (word.empty()) return;
+    if (offsets != nullptr) {
+      if (!wordpiece(vocab, word, word_start, ids, offsets)) {
+        ids->push_back(vocab.unk_id);
+        offsets->push_back(word_start);
+        offsets->push_back(end_pos);
+      }
+    } else {
+      static thread_local std::vector<int> off_scratch;
+      off_scratch.clear();
+      if (!wordpiece(vocab, word, word_start, ids, &off_scratch)) {
+        ids->push_back(vocab.unk_id);
+      }
+    }
+    word.clear();
+    word_start = -1;
+  };
+
+  for (size_t i = 0; i < len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (is_ascii_space(c)) {
+      flush(static_cast<int>(i));
+      continue;
+    }
+    if (is_ascii_punct(c)) {
+      flush(static_cast<int>(i));
+      const char pc = lowercase ? to_lower(text[i]) : text[i];
+      auto it = vocab.punct.find(std::string_view(&pc, 1));
+      ids->push_back(it != vocab.punct.end() ? it->second : vocab.unk_id);
+      if (offsets != nullptr) {
+        offsets->push_back(static_cast<int>(i));
+        offsets->push_back(static_cast<int>(i) + 1);
+      }
+      continue;
+    }
+    if (word.empty()) word_start = static_cast<int>(i);
+    word.push_back(lowercase ? to_lower(text[i]) : text[i]);
+  }
+  flush(static_cast<int>(len));
+}
+
 }  // namespace
 
 extern "C" {
@@ -138,46 +191,63 @@ int wp_tokenize(void* handle, const char* text, size_t len, int lowercase,
   const Vocab& vocab = *static_cast<Vocab*>(handle);
   std::vector<int> ids;
   std::vector<int> offsets;
+  std::string word;
   ids.reserve(len / 4 + 4);
   offsets.reserve(len / 2 + 8);
-
-  std::string word;
-  int word_start = -1;
-  auto flush = [&](int end_pos) {
-    if (word.empty()) return;
-    if (!wordpiece(vocab, word, word_start, &ids, &offsets)) {
-      ids.push_back(vocab.unk_id);
-      offsets.push_back(word_start);
-      offsets.push_back(end_pos);
-    }
-    word.clear();
-    word_start = -1;
-  };
-
-  for (size_t i = 0; i < len; ++i) {
-    unsigned char c = static_cast<unsigned char>(text[i]);
-    if (is_ascii_space(c)) {
-      flush(static_cast<int>(i));
-      continue;
-    }
-    if (is_ascii_punct(c)) {
-      flush(static_cast<int>(i));
-      const char pc = lowercase ? to_lower(text[i]) : text[i];
-      auto it = vocab.punct.find(std::string_view(&pc, 1));
-      ids.push_back(it != vocab.punct.end() ? it->second : vocab.unk_id);
-      offsets.push_back(static_cast<int>(i));
-      offsets.push_back(static_cast<int>(i) + 1);
-      continue;
-    }
-    if (word.empty()) word_start = static_cast<int>(i);
-    word.push_back(lowercase ? to_lower(text[i]) : text[i]);
-  }
-  flush(static_cast<int>(len));
+  tokenize_text(vocab, text, len, lowercase, &ids, &offsets, &word);
 
   if (static_cast<int>(ids.size()) > max_out) return -1;
   std::memcpy(out_ids, ids.data(), ids.size() * sizeof(int));
   std::memcpy(out_offsets, offsets.data(), offsets.size() * sizeof(int));
   return static_cast<int>(ids.size());
+}
+
+// Batch tokenize n_texts ASCII texts packed in one blob. texts[i] spans
+// blob[starts[i], ends[i]). Ids land in out_ids[i * cap .. i * cap + c),
+// c = out_counts[i] = min(token_count, cap) — the caller's framing layer
+// truncates to cap anyway, so capped counts are semantically lossless.
+// Work is spread over n_threads std::threads via an atomic work index
+// (dynamic balance: doc lengths vary wildly in real corpora). The Python
+// binding calls this through ctypes, which releases the GIL for the
+// duration — this is where host-side tokenization gets its multicore
+// scaling (the per-text entry point is GIL-serialized per call).
+void wp_tokenize_batch(void* handle, const char* blob,
+                       const long long* starts, const long long* ends,
+                       int n_texts, int lowercase, int cap, int* out_ids,
+                       int* out_counts, int n_threads) {
+  const Vocab& vocab = *static_cast<Vocab*>(handle);
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, std::max(1, n_texts));
+
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    std::vector<int> ids;
+    std::string word;
+    for (;;) {
+      const int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n_texts) return;
+      ids.clear();
+      const char* text = blob + starts[i];
+      const size_t len = static_cast<size_t>(ends[i] - starts[i]);
+      tokenize_text(vocab, text, len, lowercase, &ids, nullptr, &word);
+      const int c = std::min(static_cast<int>(ids.size()), cap);
+      std::memcpy(out_ids + static_cast<size_t>(i) * cap, ids.data(),
+                  static_cast<size_t>(c) * sizeof(int));
+      out_counts[i] = c;
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

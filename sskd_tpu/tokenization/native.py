@@ -56,6 +56,19 @@ def _load_library() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.wp_tokenize_batch.restype = None
+        lib.wp_tokenize_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         _LIB = lib
         logger.info(f"native wordpiece core loaded from {_LIB_PATH}")
     except (subprocess.SubprocessError, OSError) as e:
@@ -133,6 +146,44 @@ class NativeWordPiece:
         itself is ~30 ms)."""
         n = self._call(text)  # allocates this thread's buffers first
         return self._tls.ids_buf[:n]
+
+    def tokenize_ids_matrix(
+        self, texts, cap: int, n_threads: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch ids: one C call over all texts, internally multithreaded
+        (ctypes drops the GIL for the call, so the std::thread pool gives
+        real multicore scaling — the per-text entry point serializes on
+        re-entering Python between texts). Returns ``(ids [n, cap] int32,
+        counts [n] int32)`` where row i holds ``counts[i]`` valid ids,
+        capped at ``cap`` — callers frame to <= cap tokens anyway, so the
+        cap loses nothing. Caller guarantees every text is ASCII.
+        ``n_threads=0`` = hardware concurrency."""
+        n = len(texts)
+        if n == 0:
+            return (
+                np.empty((0, cap), np.int32),
+                np.empty((0,), np.int32),
+            )
+        blob = "".join(texts).encode("ascii")
+        ends = np.cumsum(
+            np.asarray([len(t) for t in texts], np.int64), dtype=np.int64
+        )
+        starts = np.concatenate(([0], ends[:-1])).astype(np.int64)
+        out_ids = np.empty((n, cap), dtype=np.int32)
+        out_counts = np.empty(n, dtype=np.int32)
+        self._lib.wp_tokenize_batch(
+            self._handle,
+            blob,
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            n,
+            1 if self.lowercase else 0,
+            cap,
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            int(n_threads),
+        )
+        return out_ids, out_counts
 
 
 def native_available() -> bool:

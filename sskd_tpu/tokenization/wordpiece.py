@@ -300,10 +300,53 @@ class WordPieceTokenizer:
         attention_mask = np.zeros((batch, length), dtype=np.int32)
         token_type_ids = np.zeros((batch, length), dtype=np.int32)
 
-        # hot path writes token ids straight from the native scratch view
-        # into the output rows — no per-token python lists (3x on
-        # whole-batch doc tokenization, see NativeWordPiece.tokenize_ids_view)
+        # hot path: ONE multithreaded C call tokenizes the whole batch
+        # (NativeWordPiece.tokenize_ids_matrix — ctypes drops the GIL, the
+        # std::thread pool uses every core); rows are then framed from the
+        # returned [B, cap] matrix. Mixed/non-ASCII batches take the
+        # per-text path below (scratch-view native for ASCII rows, pure
+        # Python otherwise).
         native = self._native_core()
+        all_ascii = (
+            native is not None
+            and all(t.isascii() for t in texts)
+            and (text_pairs is None or all(t.isascii() for t in text_pairs))
+        )
+        if all_ascii and batch > 1:
+            a_mat, a_cnt = native.tokenize_ids_matrix(texts, cap=length)
+            if text_pairs is None:
+                for bi in range(batch):
+                    la = min(int(a_cnt[bi]), length - 2)
+                    n = la + 2
+                    input_ids[bi, 0] = self.cls_id
+                    input_ids[bi, 1 : n - 1] = a_mat[bi, :la]
+                    input_ids[bi, n - 1] = self.sep_id
+                    attention_mask[bi, :n] = 1
+            else:
+                b_mat, b_cnt = native.tokenize_ids_matrix(
+                    list(text_pairs), cap=length
+                )
+                budget = length - 3
+                for bi in range(batch):
+                    la, lb = int(a_cnt[bi]), int(b_cnt[bi])
+                    while la + lb > budget:
+                        if la >= lb:
+                            la -= 1
+                        else:
+                            lb -= 1
+                    n = la + lb + 3
+                    input_ids[bi, 0] = self.cls_id
+                    input_ids[bi, 1 : 1 + la] = a_mat[bi, :la]
+                    input_ids[bi, 1 + la] = self.sep_id
+                    input_ids[bi, 2 + la : 2 + la + lb] = b_mat[bi, :lb]
+                    input_ids[bi, n - 1] = self.sep_id
+                    token_type_ids[bi, 2 + la : n] = 1
+                    attention_mask[bi, :n] = 1
+            return {
+                "input_ids": input_ids,
+                "attention_mask": attention_mask,
+                "token_type_ids": token_type_ids,
+            }
 
         def ids_of(text):
             if native is not None and text.isascii():

@@ -111,3 +111,58 @@ def test_encode_batch_from_fresh_threads():
         t.join()
     assert not errs, errs
     assert all(v == ref["input_ids"][0].tolist() for v in out.values())
+
+
+def _force_python_encode_batch(tok, *args, **kwargs):
+    saved, saved_tried = tok._native, tok._native_tried
+    tok._native, tok._native_tried = None, True
+    try:
+        return tok.encode_batch(*args, **kwargs)
+    finally:
+        tok._native, tok._native_tried = saved, saved_tried
+
+
+def test_batch_matrix_parity_singles(tok):
+    """The multithreaded wp_tokenize_batch path frames identically to the
+    pure-Python encode_batch, across varied lengths incl. truncation."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    words = ["the", "quick", "fox", "distillation", "a1b2c3", "zzz!", "(ok)"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(0, 60)))
+        for _ in range(64)
+    ]
+    got = tok.encode_batch(texts, max_length=32, pad_to=32)
+    ref = _force_python_encode_batch(tok, texts, max_length=32, pad_to=32)
+    for key in ("input_ids", "attention_mask", "token_type_ids"):
+        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
+
+
+def test_batch_matrix_parity_pairs(tok):
+    """Pair framing ([CLS] a [SEP] b [SEP] + type ids) with the balanced
+    truncation must match pure Python bit-for-bit — including rows where
+    one side is much longer than the budget (the capped-count regime)."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    words = ["semantic", "search", "knowledge", "dog", "123", "right?"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 40))) for _ in range(32)]
+    pairs = [" ".join(rng.choice(words, rng.integers(1, 80))) for _ in range(32)]
+    got = tok.encode_batch(texts, text_pairs=pairs, max_length=48, pad_to=48)
+    ref = _force_python_encode_batch(
+        tok, texts, text_pairs=pairs, max_length=48, pad_to=48
+    )
+    for key in ("input_ids", "attention_mask", "token_type_ids"):
+        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
+
+
+def test_batch_matrix_mixed_ascii_falls_back(tok):
+    """A batch containing non-ASCII text must route through the per-text
+    path and still agree with pure Python."""
+    import numpy as np
+
+    texts = ["plain ascii text", "unicode café latte", "the quick fox"]
+    got = tok.encode_batch(texts, max_length=16, pad_to=16)
+    ref = _force_python_encode_batch(tok, texts, max_length=16, pad_to=16)
+    np.testing.assert_array_equal(got["input_ids"], ref["input_ids"])
