@@ -139,6 +139,13 @@ def _bert_fwd_flops(n_layers: int, hidden: int, intermediate: int,
     return 2.0 * tokens * per_token + attn
 
 
+def _timed(fn) -> float:
+    """Wall-clock one call, in seconds."""
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _probe_device(timeout_s: int = 180) -> bool:
     """Fail FAST if the device/tunnel is wedged. A dead remote-TPU relay
     makes the first device op hang forever inside the plugin (observed
@@ -1230,9 +1237,10 @@ def main() -> None:
                 for i in range(256)
             ]
             tok.encode_batch(docs[:8], max_length=512, pad_to=512)  # warm
-            t0 = time.perf_counter()
-            tok.encode_batch(docs, max_length=512, pad_to=512)
-            tok_s = time.perf_counter() - t0
+            tok_s = min(
+                _timed(lambda: tok.encode_batch(docs, max_length=512, pad_to=512))
+                for _ in range(3)
+            )  # best-of-3: host-side timing on a contended box is noisy
             model_block["tokenizer_docs_per_s"] = round(len(docs) / tok_s, 1)
         except Exception as e:  # noqa: BLE001 — salvage the record
             if model_block is None:

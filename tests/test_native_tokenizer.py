@@ -166,3 +166,23 @@ def test_batch_matrix_mixed_ascii_falls_back(tok):
     got = tok.encode_batch(texts, max_length=16, pad_to=16)
     ref = _force_python_encode_batch(tok, texts, max_length=16, pad_to=16)
     np.testing.assert_array_equal(got["input_ids"], ref["input_ids"])
+
+
+def test_batch_matrix_forced_thread_pool(tok):
+    """Force n_threads=4 regardless of host cores: the std::thread pool +
+    atomic work index must produce byte-identical rows to the serial
+    per-text path (this host reports 1 CPU, so without forcing, the
+    threaded code would never execute in CI)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = ["the", "semantic", "fox", "a1b2c3", "x" * 120, "!"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 50))) for _ in range(97)]
+    native = tok._native_core()
+    got_ids, got_cnt = native.tokenize_ids_matrix(texts, cap=64, n_threads=4)
+    ref_ids, ref_cnt = native.tokenize_ids_matrix(texts, cap=64, n_threads=1)
+    np.testing.assert_array_equal(got_cnt, ref_cnt)
+    for i in range(len(texts)):
+        np.testing.assert_array_equal(
+            got_ids[i, : got_cnt[i]], ref_ids[i, : ref_cnt[i]], err_msg=str(i)
+        )
