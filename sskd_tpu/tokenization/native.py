@@ -157,8 +157,14 @@ class NativeWordPiece:
         counts [n] int32)`` where row i holds ``counts[i]`` valid ids,
         capped at ``cap`` — callers frame to <= cap tokens anyway, so the
         cap loses nothing. Caller guarantees every text is ASCII.
-        ``n_threads=0`` = hardware concurrency."""
+        ``n_threads=0`` = ``SSKD_TOKENIZER_THREADS`` when set, else
+        hardware concurrency (serving hosts set the env to keep host
+        tokenization from oversubscribing cores the XLA runtime uses)."""
         n = len(texts)
+        if n_threads == 0:
+            import os
+
+            n_threads = int(os.environ.get("SSKD_TOKENIZER_THREADS", "0"))
         if n == 0:
             return (
                 np.empty((0, cap), np.int32),
