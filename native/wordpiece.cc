@@ -48,6 +48,11 @@ struct Vocab {
   Table punct;  // single-char punctuation fast table (subset of head)
   int unk_id = 1;
   size_t max_token_chars = 100;
+  // longest stored piece per table: the greedy matcher's first probe is
+  // bounded by these — probing longer substrings can only miss, and for
+  // long words the unbounded start made matching O(len^2) in hash probes
+  size_t max_head_len = 1;
+  size_t max_cont_len = 1;
 };
 
 inline bool is_ascii_space(unsigned char c) {
@@ -75,7 +80,9 @@ bool wordpiece(const Vocab& vocab, const std::string& word, int word_start,
   std::vector<int> tmp_offsets;
   while (start < w.size()) {
     const Table& table = (start == 0) ? vocab.head : vocab.cont;
-    size_t end = w.size();
+    const size_t max_len =
+        (start == 0) ? vocab.max_head_len : vocab.max_cont_len;
+    size_t end = std::min(w.size(), start + max_len);
     int found = -1;
     size_t found_end = start;
     while (start < end) {
@@ -165,8 +172,10 @@ void* wp_create(const char* vocab_data, size_t len, int unk_id) {
     if (nl > pos) {
       std::string tok = data.substr(pos, nl - pos);
       if (tok.size() > 2 && tok[0] == '#' && tok[1] == '#') {
+        vocab->max_cont_len = std::max(vocab->max_cont_len, tok.size() - 2);
         vocab->cont.emplace(tok.substr(2), id);
       } else {
+        vocab->max_head_len = std::max(vocab->max_head_len, tok.size());
         vocab->head.emplace(tok, id);
         if (tok.size() == 1 &&
             is_ascii_punct(static_cast<unsigned char>(tok[0]))) {
