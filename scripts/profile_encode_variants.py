@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -73,17 +76,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="artifacts/bench/encode_variants.json")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument(
+        "--arch", default="e5", choices=["e5", "tiny"],
+        help="'tiny' = CI smoke shape so the script can't bitrot off-device",
+    )
+    ap.add_argument(
+        "--seq-lens", default="512,128",
+        help="comma-separated sequence lengths to ladder",
+    )
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (also SSKD_PLATFORM)")
     args = ap.parse_args()
+
+    from sskd_tpu.utils.platform import apply_platform
+
+    apply_platform(args.platform)
 
     import os
 
-    cfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
+    if args.arch == "e5":
+        cfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
+    else:
+        cfg = BertConfig.tiny(compute_dtype=jnp.bfloat16)
     enc = BiEncoder(cfg, normalize=True, pooling="mean")
     dummy = np.zeros((1, 8), np.int32)
     params = enc.init(jax.random.PRNGKey(0), dummy, np.ones_like(dummy))
-    results = {"device": str(jax.devices()[0])}
+    results = {"device": str(jax.devices()[0]), "arch": args.arch}
     B = args.batch
-    for L in (512, 128):
+    for L in (int(x) for x in args.seq_lens.split(",") if x):
         ids = jnp.asarray(rng.integers(1000, cfg.vocab_size, (B, L)).astype(np.int32))
         mask = jnp.ones((B, L), np.int32)
         # SSKD_FLASH_ATTENTION is read at trace time inside

@@ -29,8 +29,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +43,7 @@ import optax
 from sskd_tpu.kd.losses import combined_kd_loss
 from sskd_tpu.models.bert import BertConfig, BiEncoder
 
+# bench shapes; main() overrides for the --arch tiny CI smoke
 cfg = BertConfig.e5_small_v2(compute_dtype=jnp.bfloat16)
 TB, TN, QL, DL = 32, 8, 64, 192
 PEAK_BF16 = 197e12  # v5e
@@ -142,10 +146,23 @@ def measure(policy_name: str) -> dict:
 
 
 def main() -> None:
+    global cfg, TB, TN, QL, DL
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="artifacts/bench/train_step_remat.json")
+    ap.add_argument(
+        "--arch", default="e5", choices=["e5", "tiny"],
+        help="'tiny' = small shapes so CI can execute the script off-device",
+    )
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (also SSKD_PLATFORM)")
     args = ap.parse_args()
-    out = {"device": str(jax.devices()[0])}
+    from sskd_tpu.utils.platform import apply_platform
+
+    apply_platform(args.platform)
+    if args.arch == "tiny":
+        cfg = BertConfig.tiny(compute_dtype=jnp.bfloat16)
+        TB, TN, QL, DL = 4, 2, 16, 32
+    out = {"device": str(jax.devices()[0]), "arch": args.arch}
     for policy in ("full", "dots", "none"):
         out[policy] = measure(policy)
         print(policy, out[policy], flush=True)

@@ -1,0 +1,56 @@
+"""The queued device-profiling scripts execute end-to-end off-device.
+
+Both scripts were written during a TPU outage and sit in the recovery
+queue (VERDICT r4 items 2-3); these CPU smokes at tiny shapes keep them
+from bitrotting before the device comes back — every code path except
+the actual flash-kernel compilation runs (off-TPU, the flash variant
+measures the XLA path, which is exactly scaled_dot_attention's
+documented off-device behavior).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(script: str, *args: str) -> dict:
+    out_path = None
+    argv = [sys.executable, str(ROOT / "scripts" / script), *args]
+    for i, a in enumerate(args):
+        if a == "--out":
+            out_path = Path(args[i + 1])
+    proc = subprocess.run(
+        argv, capture_output=True, text=True, timeout=1200, cwd=str(ROOT)
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert out_path is not None and out_path.exists()
+    return json.loads(out_path.read_text())
+
+
+def test_encode_variants_smoke(tmp_path):
+    out = _run(
+        "profile_encode_variants.py",
+        "--arch", "tiny", "--batch", "4", "--seq-lens", "128",
+        "--platform", "cpu",
+        "--out", str(tmp_path / "enc.json"),
+    )
+    assert out["arch"] == "tiny"
+    for variant in ("xla", "flash"):
+        row = out[f"B4_L128_{variant}"]
+        assert row["ms_per_batch"] >= 0.0
+        assert "docs_per_s" in row
+
+
+def test_train_step_remat_smoke(tmp_path):
+    out = _run(
+        "profile_train_step.py",
+        "--arch", "tiny", "--platform", "cpu",
+        "--out", str(tmp_path / "train.json"),
+    )
+    assert out["arch"] == "tiny"
+    for policy in ("full", "dots", "none"):
+        row = out[policy]
+        assert "error" in row or row["ms_per_step"] >= 0.0
