@@ -133,7 +133,7 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--batch-size", type=int, default=256)
     pb.add_argument("--max-docs", type=int, default=None)
     pb.add_argument("--dtype", default=None,
-                    choices=["float32", "bfloat16", "int8"],
+                    choices=["float32", "bfloat16", "int8", "int4"],
                     help="default: index.dtype setting")
     pb.add_argument("--method", default=None,
                     choices=["exact", "approx", "clustered"],

@@ -145,7 +145,7 @@ class IndexConfig(BaseModel):
 
     embedding_dim: int = Field(default=384, ge=1)
     metric: Literal["cosine", "dot"] = "cosine"
-    dtype: Literal["float32", "bfloat16", "int8"] = "float32"
+    dtype: Literal["float32", "bfloat16", "int8", "int4"] = "float32"
     # "clustered" = balanced cell-probe pruning, the IVF analog (reference:
     # src/config.py FAISSConfig ivf params) — capability parity; the dense
     # approx sweep measured faster at every stable operating point (adr-009)
@@ -178,7 +178,7 @@ class PrecisionConfig(BaseModel):
 
     compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
     param_dtype: Literal["float32", "bfloat16"] = "float32"
-    index_dtype: Literal["float32", "bfloat16", "int8"] = "float32"
+    index_dtype: Literal["float32", "bfloat16", "int8", "int4"] = "float32"
 
 
 class CORSConfig(BaseModel):

@@ -75,17 +75,29 @@ class IndexBuilder:
         ``cluster_rows``: target rows per cell for "clustered" (0 = auto,
         ~sqrt(N)). ``nprobe``: probed cells per query.
 
-        ``refine_m`` (int8 + approx only): two-stage search — the int8
-        sweep fetches refine_m candidates whose bf16 rows are rescored
-        exactly (ops/topk.py refined_topk_core). Costs 2 extra bytes/elem
-        of HBM for the bf16 copy; measured recall@10 vs exact-f32 0.9945
-        at 1M rows (plain int8 sweep: 0.972). 0 disables."""
+        ``refine_m`` (int8/int4 + approx only): two-stage search — the
+        quantized sweep fetches refine_m candidates whose bf16 rows are
+        rescored exactly (ops/topk.py refined_topk_core). Costs 2 extra
+        bytes/elem of HBM for the bf16 copy; measured recall@10 vs
+        exact-f32 0.9945 at 1M rows (plain int8 sweep: 0.972). 0 disables.
+
+        ``dtype="int4"`` stores rows packed two-values-per-byte
+        (ops/quant.py halves layout): half the int8 sweep's HBM traffic —
+        the bound in the B=1 serving regime — and double the capacity per
+        chip. The exact Pallas engine unpacks nibbles in VMEM; recall sits
+        below int8's, so pair int4 with ``refine_m`` (or gate with
+        ``validate()``). Not supported with index_type="clustered"."""
         if metric not in ("cosine", "dot"):
             raise IndexBuildError(f"unsupported metric {metric!r}")
-        if dtype not in ("float32", "bfloat16", "int8"):
+        if dtype not in ("float32", "bfloat16", "int8", "int4"):
             raise IndexBuildError(f"unsupported index dtype {dtype!r}")
         if index_type not in ("exact", "approx", "clustered"):
             raise IndexBuildError(f"unsupported index_type {index_type!r}")
+        if dtype == "int4" and index_type == "clustered":
+            raise IndexBuildError(
+                "int4 storage is not supported with the clustered engine "
+                "(the cell-probe kernel gathers unpacked rows)"
+            )
         self.embedding_dim = embedding_dim
         self.index_type = index_type
         self.metric = metric
@@ -152,10 +164,13 @@ class IndexBuilder:
             self._perm, self._centroids = build_clusters(emb, n_cells, rpc)
             self._rows_per_cell = rpc
             emb = emb[self._perm]  # cell-contiguous storage
-        if self.dtype == "int8":
-            from sskd_tpu.ops.quant import quantize_rows
+        if self.dtype in ("int8", "int4"):
+            from sskd_tpu.ops.quant import quantize_rows, quantize_rows_int4
 
-            values, scales = quantize_rows(emb)
+            if self.dtype == "int8":
+                values, scales = quantize_rows(emb)
+            else:
+                values, scales = quantize_rows_int4(emb)
             self._vectors = np.asarray(values)
             self._scales = np.asarray(scales)
             if self.refine_m > 0:
@@ -499,19 +514,29 @@ class IndexBuilder:
     ) -> dict[str, float]:
         """Build-time recall gate (reference: configs/index.yaml:52-56).
 
-        Exact f32 search has recall 1.0 by construction; for int8 the gate
-        measures recall of the quantized search against f32 brute force over
-        ``n_queries`` corpus-derived probes.
+        Exact f32 search has recall 1.0 by construction; for int8/int4 the
+        gate measures recall of the quantized search against f32 brute force
+        over ``n_queries`` corpus-derived probes. The brute-force corpus is
+        the closest available stand-in for the original embeddings: the bf16
+        refine rows when ``refine_m > 0`` (they ARE the originals, so the
+        gate credits the refine rescore), else the dequantized storage (the
+        gate then measures sweep fidelity to what is stored).
         """
         if not self.is_built:
             raise IndexLoadError("index not built/loaded")
         rng = np.random.default_rng(seed)
         n = min(n_queries, self.ntotal)
         probe_rows = rng.choice(self.ntotal, size=n, replace=False)
-        if self.dtype == "int8":
+        if self._refine is not None:
+            full = self._refine.astype(np.float32)
+        elif self.dtype == "int8":
             from sskd_tpu.ops.quant import dequantize_rows
 
             full = np.asarray(dequantize_rows(self._vectors, self._scales))
+        elif self.dtype == "int4":
+            from sskd_tpu.ops.quant import dequantize_rows_int4
+
+            full = np.asarray(dequantize_rows_int4(self._vectors, self._scales))
         else:
             full = self._vectors.astype(np.float32)
         queries = full[probe_rows] + rng.normal(0, 0.05, (n, self.embedding_dim)).astype(

@@ -193,6 +193,22 @@ class ShardedIndex:
             values, scales_arr = quantize_rows(jnp.asarray(emb))
             emb = np.asarray(values)
             scales = np.asarray(scales_arr)
+        elif dtype == "int4":
+            # packed rows shard like any other row matrix (cols = D/2).
+            # NOTE: the local sweep currently runs through the XLA unpack
+            # fallback (ops/topk.py cosine_topk_core), so int4 here buys
+            # HBM CAPACITY (half the int8 footprint per shard) but not yet
+            # sweep bandwidth — the in-VMEM unpack engine is single-device
+            # (ops/topk_pallas.py) pending an in-shard_map routing.
+            from sskd_tpu.ops.quant import quantize_rows_int4
+
+            values, scales_arr = quantize_rows_int4(jnp.asarray(emb))
+            emb = np.asarray(values)
+            scales = np.asarray(scales_arr)
+            logger.warning(
+                "sharded int4: capacity halved vs int8 but the local sweep "
+                "unpacks per call — bandwidth win not yet realized"
+            )
         elif dtype == "bfloat16":
             import ml_dtypes
 

@@ -89,6 +89,16 @@ def cosine_topk_core(
       (-inf, -1), matching the FAISS convention the serving layer expects
       (reference: serve/app.py:293-300).
     """
+    if corpus.dtype == jnp.uint8:
+        # packed-int4 corpus on the XLA path: unpack to int8 and reuse the
+        # int8 machinery (correctness fallback — materializes the unpacked
+        # copy, so TPU callers route to the Pallas int4 engine instead via
+        # cosine_topk / cosine_topk_compose)
+        from sskd_tpu.ops.quant import unpack_int4
+
+        if row_scales is None:
+            raise ValueError("packed int4 corpus requires row_scales")
+        corpus = unpack_int4(corpus)
     if method == "approx":
         return _approx_topk(
             queries,
@@ -421,16 +431,30 @@ def refined_topk_core(
     """
     N = corpus.shape[0]
     refine_m = max(k, min(refine_m, N))
-    _, cand = cosine_topk_core(
-        queries,
-        corpus,
-        k=refine_m,
-        row_scales=row_scales,
-        valid_n=valid_n,
-        method="approx",
-        recall_target=recall_target,
-        block_rows=block_rows,
-    )
+    if corpus.dtype == jnp.uint8 and _pallas_exact_ok(corpus, refine_m):
+        # packed int4: the XLA approx sweep would materialize a full
+        # unpacked copy (cosine_topk_core's fallback), forfeiting the
+        # bandwidth win — the binned Pallas engine unpacks in VMEM and its
+        # EXACT candidates only improve recall@refine_m
+        _, cand = cosine_topk_compose(
+            queries,
+            corpus,
+            k=refine_m,
+            row_scales=row_scales,
+            valid_n=valid_n,
+            method="exact",
+        )
+    else:
+        _, cand = cosine_topk_core(
+            queries,
+            corpus,
+            k=refine_m,
+            row_scales=row_scales,
+            valid_n=valid_n,
+            method="approx",
+            recall_target=recall_target,
+            block_rows=block_rows,
+        )
     safe = jnp.clip(cand, 0, refine_rows.shape[0] - 1)
     rows = refine_rows[safe]  # [B, m, D] gather
     res = jnp.einsum(

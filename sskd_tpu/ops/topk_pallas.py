@@ -65,15 +65,27 @@ BLOCK_ROWS = 16384  # default phase-A block; callers that pre-pad the corpus
 # auto-halving of the block divides this, so one pad fits all block sizes.
 
 
+def _unpack_nibbles(packed):
+    """[R, D/2] uint8 -> (lo, hi) f32 nibble values in [-7, 7] (halves
+    layout, ops/quant.py quantize_rows_int4). f32 is integer-exact here:
+    |nibble| <= 8, |int8 query| <= 127, so every product and partial sum
+    of a D <= 2^17 dot stays far below 2^24."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 15) - 8).astype(jnp.float32)
+    hi = ((p >> 4) - 8).astype(jnp.float32)
+    return lo, hi
+
+
 def _binmax_kernel(
     valid_n_ref,  # SMEM (1,1) int32 — true corpus rows
     q_ref,  # [B, D] (f32 or int8)
-    block_ref,  # [R, D] corpus block (f32 or int8)
+    block_ref,  # [R, D] corpus block (f32/int8), or [R, D/2] packed uint8
     scale_ref,  # [R, 1] f32 per-row scales, or None
     out_ref,  # [G, B] f32 — this block's bin maxima
     *,
     block_rows: int,
     is_int8: bool,
+    is_int4: bool,
 ):
     """Every elementwise pass over the [R, B] score tile moves ~R*B*4 bytes
     through the VPU — at 1M x 256 that's 1 GB per pass per sweep, which
@@ -92,7 +104,22 @@ def _binmax_kernel(
 
     # TRANSPOSED scores [R, B]: bins lie along SUBLANES, so the per-bin max
     # is a pairwise tree over sublane tiles — no lane-dim shuffles.
-    if is_int8:
+    if is_int4:
+        # packed rows: HBM moved only R * D/2 bytes for this block — half
+        # the int8 sweep's traffic, which is the entire win in the
+        # HBM-bound B=1 serving regime. The nibble unpack is VPU work on
+        # VMEM-resident data; the two half-dots sum to the exact int dot.
+        lo, hi = _unpack_nibbles(block_ref[:])
+        d2 = lo.shape[1]
+        q = q_ref[:].astype(jnp.float32)  # int8 query values, exact in f32
+        scores_t = jax.lax.dot_general(
+            lo, q[:, :d2], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            hi, q[:, d2:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    elif is_int8:
         scores_t = jax.lax.dot_general(
             block_ref[:],
             q_ref[:],
@@ -140,6 +167,7 @@ def _gather_kernel(
     #         then out_ref [1, J, BIN_W] f32 (this step's slab)
     has_scales: bool,
     is_int8: bool,
+    is_int4: bool,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -157,16 +185,27 @@ def _gather_kernel(
     q_row = q_ref[pl.ds(b, 1), :]
     parts = []
     for jj in range(J):
-        rows = rows_refs[jj][:]
-        if is_int8:
-            rows = rows.astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q_row,
-            rows,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if is_int8:
+        if is_int4:
+            lo, hi = _unpack_nibbles(rows_refs[jj][:])
+            d2 = lo.shape[1]
+            scores = jax.lax.dot_general(
+                q_row[:, :d2], lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_row[:, d2:], hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            rows = rows_refs[jj][:]
+            if is_int8:
+                rows = rows.astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q_row,
+                rows,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if is_int8 or is_int4:
             scores = scores * qscale_ref[pl.ds(b, 1), :] * scale_refs[jj][:].T
         elif scale_refs[jj] is not None:
             scores = scores * scale_refs[jj][:].T
@@ -275,15 +314,26 @@ def _pallas_body(
     if valid_n is None:
         valid_n = N
     is_int8 = corpus.dtype == jnp.int8
+    is_int4 = corpus.dtype == jnp.uint8  # packed two-per-byte (ops/quant.py)
+    Dc = corpus.shape[1]  # corpus columns: D, or D/2 packed
+    if is_int4 and Dc * 2 != D:
+        raise ValueError(f"packed int4 corpus cols {Dc} != query dim {D} / 2")
+    if is_int4 and row_scales is None:
+        raise ValueError("packed int4 corpus requires row_scales")
 
     # VMEM budget: the [R, B] transposed score tile (x3 — Mosaic's scoped
     # allocator holds the raw scores, the masked copy, and reduce temps
-    # live together) + the double-buffered corpus block. The kernel raises
-    # the per-kernel scoped-vmem limit to 100 MB (v5e has 128 MB).
+    # live together) + the double-buffered corpus block (+ the int4 path's
+    # f32 unpack temps: int32 nibbles and two f32 half-blocks live with the
+    # packed block). The kernel raises the per-kernel scoped-vmem limit to
+    # 100 MB (v5e has 128 MB).
     VMEM_BUDGET = 80 * 1024 * 1024
-    itemsize = 1 if is_int8 else corpus.dtype.itemsize
+    itemsize = 1 if (is_int8 or is_int4) else corpus.dtype.itemsize
+    unpack_bytes = 3 * Dc * 4 if is_int4 else 0  # per corpus row
     while block_rows > 512 and (
-        3 * B * block_rows * 4 + 2 * block_rows * D * itemsize > VMEM_BUDGET
+        3 * B * block_rows * 4
+        + block_rows * (2 * Dc * itemsize + unpack_bytes)
+        > VMEM_BUDGET
     ):
         block_rows //= 2
 
@@ -297,7 +347,7 @@ def _pallas_body(
     n_bins = padded // BIN_W
     G = block_rows // BIN_W
 
-    if is_int8:
+    if is_int8 or is_int4:
         if row_scales is None:
             raise ValueError("int8 corpus requires row_scales")
         q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=1, keepdims=True), 1e-9)
@@ -323,7 +373,7 @@ def _pallas_body(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # valid_n
         pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),  # queries
-        pl.BlockSpec((block_rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, Dc), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [valid_arr, q_in, corpus]
     if scales_arr is not None:
@@ -336,6 +386,7 @@ def _pallas_body(
         _binmax_dispatch,
         has_scales=scales_arr is not None,
         is_int8=is_int8,
+        is_int4=is_int4,
         block_rows=block_rows,
     )
     binmax_t = pl.pallas_call(
@@ -351,7 +402,7 @@ def _pallas_body(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * padded * D,
-            bytes_accessed=padded * D * itemsize + B * D * 4 + n_bins * B * 4,
+            bytes_accessed=padded * Dc * itemsize + B * D * 4 + n_bins * B * 4,
             transcendentals=0,
         ),
     )(*operands)
@@ -377,12 +428,15 @@ def _pallas_body(
         )
 
     gather = functools.partial(
-        _gather_kernel, has_scales=scales_arr is not None, is_int8=is_int8
+        _gather_kernel,
+        has_scales=scales_arr is not None,
+        is_int8=is_int8,
+        is_int4=is_int4,
     )
 
     def _bin_spec(jj):
         return pl.BlockSpec(
-            (BIN_W, D),
+            (BIN_W, Dc),
             functools.partial(
                 lambda b, j, bins, valid, _jj: (bins[b, j * J + _jj], 0), _jj=jj
             ),
@@ -403,10 +457,10 @@ def _pallas_body(
         pl.BlockSpec((B, D), lambda b, j, bins, valid: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, 1), lambda b, j, bins, valid: (0, 0), memory_space=pltpu.VMEM),
     ]
-    # int8: quantized queries as f32 (integer-exact, see _gather_kernel)
+    # int8/int4: quantized queries as f32 (integer-exact, see _gather_kernel)
     gather_operands = [
-        q_in.astype(jnp.float32) if is_int8 else q_in,
-        q_scale if is_int8 else jnp.ones((B, 1), jnp.float32),
+        q_in.astype(jnp.float32) if (is_int8 or is_int4) else q_in,
+        q_scale if (is_int8 or is_int4) else jnp.ones((B, 1), jnp.float32),
     ]
     gather_in_specs += [_bin_spec(jj) for jj in range(J)]
     gather_operands += [corpus] * J
@@ -433,7 +487,7 @@ def _pallas_body(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * kb_pad * BIN_W * D,
-            bytes_accessed=B * kb_pad * BIN_W * D * itemsize,
+            bytes_accessed=B * kb_pad * BIN_W * Dc * itemsize,
             transcendentals=0,
         ),
     )(bins_clip, jnp.asarray([valid_n], jnp.int32), *gather_operands)
@@ -485,7 +539,9 @@ def _small_topk(x: jnp.ndarray, k: int):
     return vals, idxs
 
 
-def _binmax_dispatch(valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, block_rows):
+def _binmax_dispatch(
+    valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, is_int4, block_rows
+):
     """Unpack optional operands, then run the phase-A kernel body."""
     rest = list(rest)
     scale_ref = rest.pop(0) if has_scales else None
@@ -498,6 +554,7 @@ def _binmax_dispatch(valid_ref, q_ref, block_ref, *rest, has_scales, is_int8, bl
         out_ref,
         block_rows=block_rows,
         is_int8=is_int8,
+        is_int4=is_int4,
     )
 
 

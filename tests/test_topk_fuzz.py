@@ -76,10 +76,15 @@ def test_exact_with_heavy_duplicates():
         assert len(set(row.tolist())) == 20
 
 
-@pytest.mark.parametrize("dtype", ["int8"])
+@pytest.mark.parametrize("dtype", ["int8", "int4"])
 def test_quantized_engines_self_retrieve(dtype):
     corpus, _ = _data(9, 600, 64, 1)
-    v8, scales = quantize_rows(jnp.asarray(corpus))
+    if dtype == "int4":
+        from sskd_tpu.ops.quant import quantize_rows_int4
+
+        v8, scales = quantize_rows_int4(jnp.asarray(corpus))
+    else:
+        v8, scales = quantize_rows(jnp.asarray(corpus))
     probes = jnp.asarray(corpus[:16])
     for method in ("exact", "approx"):
         _, idx = cosine_topk(
@@ -94,3 +99,22 @@ def test_zero_norm_query_no_nan():
     vals, idx = cosine_topk(q, jnp.asarray(corpus), k=5, block_rows=128)
     assert np.isfinite(np.asarray(vals)).all()
     assert (np.asarray(idx) >= 0).all()
+
+
+@pytest.mark.parametrize("seed,n,d,b,k", [(20, 513, 32, 3, 7), (21, 1280, 64, 2, 25)])
+def test_int4_pallas_xla_cross_parity(seed, n, d, b, k):
+    """The Pallas in-VMEM unpack engine and the XLA full-unpack fallback
+    are two implementations of one quantized dot — identical result sets."""
+    from sskd_tpu.ops.quant import quantize_rows_int4
+
+    corpus, queries = _data(seed, n, d, b)
+    packed, scales = quantize_rows_int4(jnp.asarray(corpus))
+    q = jnp.asarray(queries)
+    v_p, i_p = cosine_topk_pallas(q, packed, k=k, block_rows=256, row_scales=scales, interpret=True)
+    from sskd_tpu.ops.topk import cosine_topk_core
+
+    v_x, i_x = cosine_topk_core(q, packed, k=k, block_rows=256, row_scales=scales)
+    np.testing.assert_array_equal(np.sort(np.asarray(i_p)), np.sort(np.asarray(i_x)))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v_p)), np.sort(np.asarray(v_x)), rtol=1e-5, atol=1e-6
+    )

@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from sskd_tpu.exceptions import IndexLoadError, IndexVersionError
+from sskd_tpu.exceptions import IndexBuildError, IndexLoadError, IndexVersionError
 from sskd_tpu.index.builder import IndexBuilder
 from sskd_tpu.ops.quant import dequantize_rows, quantization_error, quantize_rows
 from sskd_tpu.ops.topk import cosine_topk, merge_topk
@@ -317,3 +317,118 @@ class TestShardedIndex:
         sharded = ShardedIndex.from_builder(b, mesh)
         _, idx = sharded.search(emb[3], k=1)
         assert idx[0, 0] == 3
+
+
+class TestQuantInt4:
+    def test_pack_unpack_exact(self):
+        """unpack(pack(x)) reproduces the clipped nibble codes exactly."""
+        from sskd_tpu.ops.quant import quantize_rows_int4, unpack_int4
+
+        rng = np.random.default_rng(31)
+        x = _normed(rng, 64, 32)
+        packed, scales = quantize_rows_int4(jnp.asarray(x))
+        nib = np.asarray(unpack_int4(packed))
+        assert nib.dtype == np.int8 and nib.shape == (64, 32)
+        assert nib.min() >= -7 and nib.max() <= 7
+        expect = np.clip(np.round(x / np.asarray(scales)[:, None]), -7, 7)
+        np.testing.assert_array_equal(nib, expect.astype(np.int8))
+
+    def test_roundtrip_error_bounds(self):
+        from sskd_tpu.ops.quant import quantization_error_int4
+
+        rng = np.random.default_rng(32)
+        x = _normed(rng, 100, 384)
+        err = quantization_error_int4(x)
+        # 4-bit symmetric absmax on normalized gaussian rows: ~0.99 cosine
+        assert err["min_row_cosine"] > 0.97
+        assert err["max_abs_err"] < 0.1
+
+    def test_packed_halves_layout(self):
+        """Column j of packed holds dim j (low nibble) and dim j + D/2
+        (high nibble) — the layout consumers' half-dots rely on."""
+        from sskd_tpu.ops.quant import quantize_rows_int4
+
+        x = jnp.asarray([[7.0, -7.0, 3.0, 0.0]])  # scale = 1.0
+        packed, scales = quantize_rows_int4(x)
+        assert float(scales[0]) == pytest.approx(1.0)
+        p = np.asarray(packed)[0].astype(int)  # int: uint8 - 8 would wrap
+        assert (p[0] & 15) - 8 == 7 and (p[0] >> 4) - 8 == 3
+        assert (p[1] & 15) - 8 == -7 and (p[1] >> 4) - 8 == 0
+
+
+class TestInt4Index:
+    def test_int4_index_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(33)
+        emb = _normed(rng, 200, 384)
+        ids = [f"d{i}" for i in range(200)]
+        b = IndexBuilder(dtype="int4")
+        b.build_from_arrays(emb, ids)
+        assert b._vectors.shape == (200, 192) and b._vectors.dtype == np.uint8
+        out = tmp_path / "idx4"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+        assert b2.dtype == "int4"
+        _, idx = b2.search(emb[:4], k=1)
+        assert idx[:, 0].tolist() == [0, 1, 2, 3]
+        assert b2.validate(n_queries=30, k=10)["recall@10"] >= 0.9
+
+    def test_int4_refined_recall(self, tmp_path):
+        """int4 + refine_m: exact bf16 rescore lifts recall to the gate the
+        raw int4 sweep can't guarantee (the production int4 configuration)."""
+        rng = np.random.default_rng(34)
+        emb = _normed(rng, 1500, 64)
+        ids = [f"d{i}" for i in range(1500)]
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int4", index_type="approx", refine_m=40
+        )
+        b.build_from_arrays(emb, ids)
+        out = tmp_path / "idx4r"
+        b.save(out)
+        b2 = IndexBuilder().load(out)
+
+        q = _normed(rng, 40, 64)
+        gt = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+        _, idx_ref = b2.search(q, k=10)
+        plain = IndexBuilder(
+            embedding_dim=64, dtype="int4", index_type="approx"
+        ).build_from_arrays(emb, ids)
+        _, idx_plain = plain.search(q, k=10)
+
+        def recall(idx):
+            return np.mean(
+                [len(set(idx[i]) & set(gt[i])) / 10 for i in range(len(q))]
+            )
+
+        assert recall(idx_ref) >= recall(idx_plain) - 1e-9
+        assert recall(idx_ref) >= 0.97
+
+    def test_validate_gate_credits_refine(self):
+        """validate() must brute-force against the bf16 refine rows when they
+        exist (they ARE the original embeddings) — otherwise the gate scores
+        the refine rescore against the quantized reconstruction and a larger
+        refine_m can't move the number (the regression this pins)."""
+        rng = np.random.default_rng(36)
+        emb = _normed(rng, 1500, 64)
+        ids = [f"d{i}" for i in range(1500)]
+        plain = IndexBuilder(
+            embedding_dim=64, dtype="int4", index_type="approx"
+        ).build_from_arrays(emb, ids)
+        refined = IndexBuilder(
+            embedding_dim=64, dtype="int4", index_type="approx", refine_m=64
+        ).build_from_arrays(emb, ids)
+        r_plain = plain.validate(n_queries=64, k=10)["recall@10"]
+        r_ref = refined.validate(n_queries=64, k=10)["recall@10"]
+        assert r_ref >= r_plain - 1e-9
+        assert r_ref >= 0.97
+
+    def test_int4_clustered_rejected(self):
+        with pytest.raises(IndexBuildError, match="int4"):
+            IndexBuilder(dtype="int4", index_type="clustered")
+
+    def test_int4_half_footprint(self):
+        rng = np.random.default_rng(35)
+        emb = _normed(rng, 64, 128)
+        ids = [str(i) for i in range(64)]
+        b8 = IndexBuilder(embedding_dim=128, dtype="int8").build_from_arrays(emb, ids)
+        b4 = IndexBuilder(embedding_dim=128, dtype="int4").build_from_arrays(emb, ids)
+        assert b4._vectors.nbytes * 2 == b8._vectors.nbytes

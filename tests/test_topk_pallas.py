@@ -151,3 +151,89 @@ def test_duplicate_winning_bins_exact():
     )
     gt_idx = np.argsort(-(q @ corpus.T), axis=1)[:, :5]
     np.testing.assert_array_equal(np.asarray(idx), gt_idx)
+
+
+def test_int4_matches_dequantized_ground_truth():
+    """The in-kernel nibble unpack must reproduce the quantized dot
+    EXACTLY: both engines and a numpy dequantized reference agree."""
+    from sskd_tpu.ops.quant import dequantize_rows_int4, quantize_rows_int4
+    from sskd_tpu.ops.topk import cosine_topk_core
+
+    rng = np.random.default_rng(11)
+    corpus = _normed(rng, 2048, 128)
+    queries = _normed(rng, 8, 128)
+    packed, scales = quantize_rows_int4(jnp.asarray(corpus))
+    assert packed.shape == (2048, 64) and packed.dtype == jnp.uint8
+
+    deq = np.asarray(dequantize_rows_int4(packed, scales))
+    qa = np.maximum(np.abs(queries).max(axis=1, keepdims=True), 1e-9)
+    qs = qa / 127.0
+    qi = np.clip(np.round(queries / qs), -127, 127)
+    gt = (qi * qs) @ deq.T
+    gt_idx = np.argsort(-gt, axis=1)[:, :10]
+
+    v_p, i_p = cosine_topk_pallas(
+        jnp.asarray(queries), packed, k=10, row_scales=scales, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i_p), gt_idx)
+    np.testing.assert_allclose(
+        np.asarray(v_p), np.take_along_axis(gt, gt_idx, 1), rtol=1e-5, atol=1e-6
+    )
+    # XLA unpack fallback returns the identical result set
+    v_x, i_x = cosine_topk_core(
+        jnp.asarray(queries), packed, k=10, row_scales=scales
+    )
+    np.testing.assert_array_equal(np.asarray(i_x), gt_idx)
+
+
+def test_int4_valid_n_masking():
+    from sskd_tpu.ops.quant import quantize_rows_int4
+
+    rng = np.random.default_rng(12)
+    corpus = _normed(rng, 900, 64)
+    queries = _normed(rng, 4, 64)
+    packed, scales = quantize_rows_int4(jnp.asarray(corpus))
+    _, idx = cosine_topk_pallas(
+        jnp.asarray(queries),
+        packed,
+        k=5,
+        row_scales=scales,
+        valid_n=500,
+        interpret=True,
+    )
+    assert np.asarray(idx).max() < 500
+
+
+def test_int4_recall_floor_vs_f32():
+    """Raw int4 recall floor on random normalized rows — the HARDEST
+    distribution (near-uniform score margins; measured 0.80-0.86 here).
+    This is exactly why the builder pairs int4 with refine_m (exact bf16
+    rescore) in production: see TestInt4Index.test_int4_refined_recall
+    for the >= 0.97 gated configuration."""
+    from sskd_tpu.ops.quant import quantize_rows_int4
+
+    rng = np.random.default_rng(13)
+    corpus = _normed(rng, 1500, 128)
+    queries = _normed(rng, 8, 128)
+    packed, scales = quantize_rows_int4(jnp.asarray(corpus))
+    _, idx = cosine_topk_pallas(
+        jnp.asarray(queries), packed, k=10, row_scales=scales, interpret=True
+    )
+    gt_idx = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    recall = np.mean(
+        [len(set(np.asarray(idx)[i]) & set(gt_idx[i])) / 10 for i in range(8)]
+    )
+    assert recall >= 0.75
+
+
+def test_int4_requires_scales_and_even_dim():
+    from sskd_tpu.ops.quant import quantize_rows_int4
+
+    rng = np.random.default_rng(14)
+    corpus = _normed(rng, 256, 64)
+    packed, scales = quantize_rows_int4(jnp.asarray(corpus))
+    q = jnp.asarray(_normed(rng, 2, 64))
+    with pytest.raises(ValueError, match="row_scales"):
+        cosine_topk_pallas(q, packed, k=5, interpret=True)
+    with pytest.raises(ValueError, match="even dim"):
+        quantize_rows_int4(jnp.asarray(_normed(rng, 4, 7)))
