@@ -37,7 +37,7 @@ from sskd_tpu.exceptions import (
     IndexLoadError,
     IndexVersionError,
 )
-from sskd_tpu.ops.topk import cosine_topk_core, merge_topk
+from sskd_tpu.ops.topk import _pallas_exact_ok, cosine_topk_core, merge_topk
 from sskd_tpu.utils.logging import get_logger
 
 logger = get_logger("index.sharded")
@@ -195,20 +195,16 @@ class ShardedIndex:
             scales = np.asarray(scales_arr)
         elif dtype == "int4":
             # packed rows shard like any other row matrix (cols = D/2).
-            # NOTE: the local sweep currently runs through the XLA unpack
-            # fallback (ops/topk.py cosine_topk_core), so int4 here buys
-            # HBM CAPACITY (half the int8 footprint per shard) but not yet
-            # sweep bandwidth — the in-VMEM unpack engine is single-device
-            # (ops/topk_pallas.py) pending an in-shard_map routing.
+            # On TPU the local sweep routes through the Pallas engine
+            # (shard_search), which unpacks nibbles in VMEM — each shard
+            # keeps both the capacity win (half the int8 footprint) AND the
+            # bandwidth win (half the sweep's HBM bytes). Off-TPU / small
+            # shards fall back to the XLA unpack path (correctness only).
             from sskd_tpu.ops.quant import quantize_rows_int4
 
             values, scales_arr = quantize_rows_int4(jnp.asarray(emb))
             emb = np.asarray(values)
             scales = np.asarray(scales_arr)
-            logger.warning(
-                "sharded int4: capacity halved vs int8 but the local sweep "
-                "unpacks per call — bandwidth win not yet realized"
-            )
         elif dtype == "bfloat16":
             import ml_dtypes
 
@@ -216,7 +212,7 @@ class ShardedIndex:
 
         self._place_from_source(
             lambda a, b: emb[a:b],
-            d,
+            emb.shape[1],  # = D/2 stored columns for packed int4
             emb.dtype,
             n,
             doc_ids,
@@ -456,6 +452,24 @@ class ShardedIndex:
                     valid_n=ntotal,
                     index_offset=offset,
                 )
+            elif not clustered and method == "exact" and _pallas_exact_ok(shard, k):
+                # binned Pallas exact engine on the LOCAL shard: unpacks
+                # int4 nibbles / upcasts int8 in VMEM, so HBM moves only the
+                # stored bytes — the same bandwidth win as single-device,
+                # now inside the shard_map program. Local indices + local
+                # valid count; offset to global after, preserving -1
+                # sentinels for the merge.
+                from sskd_tpu.ops.topk_pallas import cosine_topk_pallas_impl
+
+                local_valid = jnp.clip(ntotal - offset, 0, rows_per_shard)
+                vals, idx = cosine_topk_pallas_impl(
+                    queries,
+                    shard,
+                    k,
+                    row_scales=shard_scales,
+                    valid_n=local_valid,
+                )
+                idx = jnp.where(idx >= 0, idx + offset, -1)
             else:
                 # non-clustered, or a batch large enough that the probe
                 # union approaches the local corpus: full local sweep

@@ -174,3 +174,68 @@ def test_preload_shards_at_startup(monkeypatch, fake_student, temp_index_dir):
         assert r.status == 200 and r.json()["total_results"] == 2
     finally:
         tc.close()
+
+
+def test_sharded_int4_capacity_and_ranking(tmp_path):
+    """int4 rows shard packed (cols = D/2, half the int8 bytes/shard) and the
+    sharded ranking matches the single-device int4 builder's."""
+    from sskd_tpu.index.builder import IndexBuilder
+    from sskd_tpu.index.sharded import ShardedIndex
+    from sskd_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((600, 64)).astype(np.float32)
+    ids = [f"d{i}" for i in range(600)]
+    queries = rng.standard_normal((5, 64)).astype(np.float32)
+
+    mesh = create_mesh(data_parallel=1, index_parallel=8)
+    sh = ShardedIndex(mesh, block_rows=128).build_from_arrays(emb, ids, dtype="int4")
+    assert sh._vectors.shape[1] == 32  # packed cols = D/2
+    v_sh, i_sh = sh.search(queries, k=5)
+
+    single = IndexBuilder(embedding_dim=64, dtype="int4").build_from_arrays(emb, ids)
+    v_s, i_s = single.search(queries, k=5)
+    np.testing.assert_array_equal(i_sh, i_s)
+    np.testing.assert_allclose(v_sh, v_s, rtol=1e-5, atol=1e-6)
+
+    # save/load roundtrip keeps the packed layout
+    out = sh.save(tmp_path / "sh_int4")
+    loaded = ShardedIndex(mesh, block_rows=128).load(out)
+    assert loaded.dtype == "int4"
+    v1, i1 = loaded.search(queries, k=5)
+    np.testing.assert_array_equal(i_sh, i1)
+
+
+def test_sharded_pallas_local_sweep(monkeypatch):
+    """Force the Pallas-exact gate open: the shard_map program must route the
+    local sweep through the binned Pallas engine (interpret mode off-TPU) —
+    per-shard traced valid_n, local->global index offset, -1 sentinels — and
+    the merged result must equal brute force. Covers f32, int8 and packed
+    int4 shards (the int4 bandwidth path the single-device engine already
+    has, now inside shard_map)."""
+    import sskd_tpu.index.sharded as sharded_mod
+    from sskd_tpu.index.sharded import ShardedIndex
+    from sskd_tpu.parallel.mesh import create_mesh
+
+    monkeypatch.setattr(sharded_mod, "_pallas_exact_ok", lambda corpus, k: True)
+
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((700, 64)).astype(np.float32)  # pads to 768 = 8*96? -> 128-aligned per shard
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"d{i}" for i in range(700)]
+    queries = emb[:4] + 0.02 * rng.standard_normal((4, 64)).astype(np.float32)
+
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
+    for dtype, min_overlap in (("float32", 5), ("int8", 4), ("int4", 3)):
+        mesh = create_mesh(data_parallel=1, index_parallel=8)
+        sh = ShardedIndex(mesh, block_rows=128).build_from_arrays(
+            emb, ids, dtype=dtype
+        )
+        v, i = sh.search(queries, k=5)
+        assert (i >= 0).all() and (i < 700).all(), (dtype, i)
+        for r in range(4):
+            overlap = len(set(i[r]) & set(gt[r]))
+            assert overlap >= min_overlap, (dtype, r, i[r], gt[r])
+        # f32 through the Pallas engine must be exactly brute force
+        if dtype == "float32":
+            np.testing.assert_array_equal(i, gt)
