@@ -39,6 +39,8 @@ Environment knobs:
                       reference; the honest record is that the dense
                       sweep wins (adr-009), and this keeps tracking it
   SSKD_BENCH_BF16     also run the bf16-rows 1M point (default: 1 on TPU)
+  SSKD_BENCH_INT4     also run the packed-int4 1M point (default: 1; needs
+                      the f32 corpus, so it runs when rows <= 2M)
   SSKD_BENCH_MODEL    also run the model-side benches: student encode
                       docs/s at e5-small-v2 shape, teacher pairs/s at
                       bge-reranker-large shape, KD train-step ms
@@ -246,7 +248,10 @@ def main() -> None:
         + one pass over the corpus from HBM (queries/outputs negligible)."""
         return _roofline(
             2.0 * n_q * n_rows * dim,
-            float(n_rows) * dim * dtype_bytes + (n_rows * 4 if dtype_bytes == 1 else 0),
+            # quantized rows (int8 = 1 byte, packed int4 = 0.5) also read a
+            # f32 scale per row
+            float(n_rows) * dim * dtype_bytes
+            + (n_rows * 4 if dtype_bytes in (0.5, 1) else 0),
             ms,
             peaks,
             compute_kind=kind,
@@ -498,6 +503,75 @@ def main() -> None:
             "roofline": sweep_roofline(rows, batch, refine_ms, 1, "int8"),
         }
         del rbf
+
+    # ---- int4 packed 1M point: rows stored two-per-byte, unpacked in
+    # VMEM by the Pallas exact engine (ops/topk_pallas.py) — HALF the int8
+    # sweep's HBM bytes (the bound in the B=1 serving regime) and double
+    # the capacity per chip. Measured at B=1 (bandwidth regime, vs the
+    # int8 exact B=1 sweep for the apples-to-apples ratio) and at the
+    # batch (MXU int8-mode regime); recall vs the same ground truth as
+    # the headline shows the int4 quantization floor the refine rescore
+    # recovers (index.refine_m, tests/test_topk_index.py). -----------------
+    int4_point = None
+    if os.environ.get("SSKD_BENCH_INT4", "1") == "1" and keep_f32:
+        from sskd_tpu.ops.quant import quantize_rows_int4
+        from sskd_tpu.ops.topk import cosine_topk_compose
+
+        c4, scales4 = quantize_rows_int4(corpus)
+        c4 = jax.block_until_ready(c4)
+
+        def _int4_sweep(q, c, s):
+            return cosine_topk_compose(q, c, k=k, row_scales=s, method="exact")
+
+        int4_ms = min(slope_runs(_int4_sweep, c4, scales4, repeats=2))
+        int4_ms_b1 = slope_ms(_int4_sweep, c4, scales4, q=q0[:1])
+        int8_exact_ms_b1 = slope_ms(_int4_sweep, c8, scales, q=q0[:1])
+        _, i4 = _int4_sweep(probe_j, c4, scales4)
+        i4 = np.asarray(i4)
+        int4_recall = float(
+            np.mean(
+                [len(set(i4[i].tolist()) & set(gt_idx[i])) / k
+                 for i in range(n_val)]
+            )
+        )
+        # production int4 config pairs the packed sweep with the bf16
+        # refine rescore (index.refine_m) — show the recall it recovers
+        # next to the raw floor
+        from sskd_tpu.ops.topk import refined_topk_core as _refined
+
+        rbf4 = corpus.astype(jnp.bfloat16)
+        _, ir4 = _refined(
+            probe_j, c4, rbf4, k=k, refine_m=40, row_scales=scales4,
+            recall_target=0.95,
+        )
+        ir4 = np.asarray(ir4)
+        int4_refined_recall = float(
+            np.mean(
+                [len(set(ir4[i].tolist()) & set(gt_idx[i])) / k
+                 for i in range(n_val)]
+            )
+        )
+        del rbf4
+        int4_point = {
+            "rows": rows,
+            "dtype": "int4(packed)",
+            "ms_per_sweep": round(int4_ms, 3),
+            "qps": round(batch / (int4_ms / 1000.0), 1) if int4_ms > 0 else 0.0,
+            "ms_per_sweep_b1": round(int4_ms_b1, 4),
+            "int8_exact_ms_per_sweep_b1": round(int8_exact_ms_b1, 4),
+            # HBM-bound regime: packed rows should approach 0.5x
+            "b1_cost_vs_int8_exact": round(int4_ms_b1 / int8_exact_ms_b1, 3)
+            if int8_exact_ms_b1 > 0
+            else None,
+            "recall_at_k_vs_%s" % gt_kind: round(int4_recall, 4),
+            "refined_m40_recall_at_k_vs_%s" % gt_kind: round(
+                int4_refined_recall, 4
+            ),
+            "hbm_bytes_per_row": dim // 2 + 4,  # packed cols + f32 scale
+            "roofline": sweep_roofline(rows, batch, int4_ms, 0.5, "int8"),
+            "roofline_b1": sweep_roofline(rows, 1, int4_ms_b1, 0.5, "int8"),
+        }
+        del c4, scales4
 
     # ---- 10M-row scale point + ICI shard projection (north star:
     # sub-ms p50 over 10M passages, BASELINE.md) -------------------------
@@ -1285,6 +1359,7 @@ def main() -> None:
             "exact_engine_roofline": sweep_roofline(rows, batch, exact_ms, 1, "int8"),
             "bf16_1m": bf16_point,
             "refined_1m": refine_point,
+            "int4_1m": int4_point,
             "scale_10m": scale_10m,
             "clustered_b1": clustered,
             "model": model_block,

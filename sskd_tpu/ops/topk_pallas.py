@@ -66,13 +66,14 @@ BLOCK_ROWS = 16384  # default phase-A block; callers that pre-pad the corpus
 
 
 def _unpack_nibbles(packed):
-    """[R, D/2] uint8 -> (lo, hi) f32 nibble values in [-7, 7] (halves
-    layout, ops/quant.py quantize_rows_int4). f32 is integer-exact here:
-    |nibble| <= 8, |int8 query| <= 127, so every product and partial sum
-    of a D <= 2^17 dot stays far below 2^24."""
+    """[R, D/2] uint8 -> (lo, hi) int8 nibble values in [-7, 7] (halves
+    layout, ops/quant.py quantize_rows_int4). int8 outputs keep the hot
+    phase-A dots on the MXU's int8 mode (2x the bf16 rate, same as the
+    int8 sweep); the math is exact regardless of accumulator since
+    |product| <= 8 * 127 and D <= 2^17 keeps partial sums below 2^24."""
     p = packed.astype(jnp.int32)
-    lo = ((p & 15) - 8).astype(jnp.float32)
-    hi = ((p >> 4) - 8).astype(jnp.float32)
+    lo = ((p & 15) - 8).astype(jnp.int8)
+    hi = ((p >> 4) - 8).astype(jnp.int8)
     return lo, hi
 
 
@@ -111,14 +112,17 @@ def _binmax_kernel(
         # VMEM-resident data; the two half-dots sum to the exact int dot.
         lo, hi = _unpack_nibbles(block_ref[:])
         d2 = lo.shape[1]
-        q = q_ref[:].astype(jnp.float32)  # int8 query values, exact in f32
-        scores_t = jax.lax.dot_general(
-            lo, q[:, :d2], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            hi, q[:, d2:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        q = q_ref[:]  # int8 query values (quantized in _pallas_body)
+        scores_t = (
+            jax.lax.dot_general(
+                lo, q[:, :d2], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            + jax.lax.dot_general(
+                hi, q[:, d2:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        ).astype(jnp.float32)
     elif is_int8:
         scores_t = jax.lax.dot_general(
             block_ref[:],
@@ -187,6 +191,7 @@ def _gather_kernel(
     for jj in range(J):
         if is_int4:
             lo, hi = _unpack_nibbles(rows_refs[jj][:])
+            lo, hi = lo.astype(jnp.float32), hi.astype(jnp.float32)
             d2 = lo.shape[1]
             scores = jax.lax.dot_general(
                 q_row[:, :d2], lo, (((1,), (1,)), ((), ())),
