@@ -33,6 +33,8 @@ Environment knobs:
   SSKD_BENCH_K        top-k                (default 10)
   SSKD_BENCH_ITERS    slope iterations     (default 8)
   SSKD_BENCH_10M      also run the 10M-row scale point (default: 1 on TPU)
+  SSKD_BENCH_10M_INT4 inside the 10M point, also measure the packed-int4
+                      B=1 sweep + its shard projection (default: 1)
   SSKD_BENCH_CLUSTERED  also run the clustered (IVF-analog) B=1 point
                       (default: 1 on TPU) — measured on a realistic
                       low-intrinsic-dim corpus with a same-corpus sweep
@@ -629,6 +631,42 @@ def main() -> None:
             q=q0[:1],
         )
 
+        # int4 at 10M: the packed Pallas exact sweep halves the bytes at
+        # the HBM roofline — the term the north-star p50 actually rides
+        # on. Same f32 source (identical PRNG keys), quantized int4; the
+        # per-dtype BEST engine is compared (int8 -> fused approx, int4 ->
+        # Pallas exact with in-VMEM unpack), which is the honest serving
+        # decision. Recall economics are the 1M block's axis (int4_1m).
+        int4_10m_b1 = None
+        if os.environ.get("SSKD_BENCH_10M_INT4", "1") == "1":
+            from sskd_tpu.ops.quant import quantize_rows_int4
+            from sskd_tpu.ops.topk import cosine_topk_compose
+
+            v4_slabs, s4_slabs = [], []
+            for i in range(0, rows10, slab):
+                n = min(slab, rows10 - i)
+                x = jax.random.normal(
+                    jax.random.PRNGKey(100_000 + i), (n, dim), dtype=jnp.float32
+                )
+                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+                v4, sc4 = quantize_rows_int4(x)
+                v4_slabs.append(jax.block_until_ready(v4))
+                s4_slabs.append(sc4)
+                del x
+            c4_10 = jnp.concatenate(v4_slabs)
+            scales4_10 = jnp.concatenate(s4_slabs)
+            del v4_slabs, s4_slabs
+            _ = np.asarray(c4_10[0, :4])
+            int4_10m_b1 = slope_ms(
+                lambda q, c, s: cosine_topk_compose(
+                    q, c, k=k, row_scales=s, method="exact"
+                ),
+                c4_10,
+                scales4_10,
+                q=q0[:1],
+            )
+            del c4_10, scales4_10
+
         # fused serving-path B=1 at 10M: the production serving program is
         # ONE jitted dispatch = encode(L=64) + int8 sweep + top-k
         # (serve/fused.py). Its device-side B=1 latency is the number that
@@ -736,6 +774,20 @@ def main() -> None:
                 round(fused_b1_ms, 3) if fused_b1_ms is not None else None
             ),
             "projected_p50_ms_10m_8shard": round(projected_p50, 3),
+            "int4_ms_per_sweep_b1": (
+                round(int4_10m_b1, 3) if int4_10m_b1 is not None else None
+            ),
+            "int4_roofline_b1": (
+                sweep_roofline(rows10, 1, int4_10m_b1, 0.5, "int8")
+                if int4_10m_b1 is not None
+                else None
+            ),
+            # packed rows halve the dominant (HBM-bound) projection term
+            "projected_p50_ms_10m_8shard_int4": (
+                round(int4_10m_b1 / n_shards + merge_ms_b1 + gather_ms_b1, 3)
+                if int4_10m_b1 is not None
+                else None
+            ),
             "projected_formula": "b1_sweep/8 + measured_merge + ici_bytes/bw",
             # every projection input except this one is a fresh measurement;
             # keep shouting "projection" until a pod exists (VERDICT r4 #5)
