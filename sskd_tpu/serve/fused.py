@@ -49,6 +49,13 @@ class FusedSearcher:
         into the cell-probe engine for deployments that measured otherwise
         on their own hardware."""
         if self.builder.index_type != "clustered":
+            # recall-margin indexes (refine_m > 0, the recommended int8
+            # config and the REQUIRED int4 config) must keep their bf16
+            # rescore inside the fused dispatch — without this branch the
+            # fused path would silently serve the raw quantized sweep at
+            # the quantization-floor recall the config was built to beat
+            if self.builder._refine is not None:
+                return "refined"
             return self.builder.index_type
         import os
 
@@ -86,6 +93,22 @@ class FusedSearcher:
                 )
 
             return topk_clustered
+        if engine == "refined":
+            from sskd_tpu.ops.topk import refined_topk_core
+
+            def topk_refined(q, corpus, scales, refine_rows):
+                return refined_topk_core(
+                    q,
+                    corpus,
+                    refine_rows,
+                    k,
+                    refine_m=builder.refine_m,
+                    row_scales=scales,
+                    valid_n=builder.ntotal,
+                    block_rows=max(builder.block_rows, 1_048_576),
+                )
+
+            return topk_refined
         # cosine_topk_compose: exact-mode serving still dispatches to the
         # binned Pallas engine on TPU — the gate reads only static shape/
         # dtype/backend facts, so it composes inside the fused jit
@@ -111,6 +134,8 @@ class FusedSearcher:
             args += (self.builder._device_scales,)
         if engine == "clustered":
             args += (self.builder._device_centroids,)
+        elif engine == "refined":
+            args += (self.builder._device_refine,)
         return args
 
     def _map_positions(self, idx: np.ndarray) -> np.ndarray:

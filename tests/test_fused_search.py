@@ -73,3 +73,37 @@ def test_serving_uses_fused_with_real_student(tmp_path, monkeypatch, student, bu
         assert r.json()["total_results"] == 4
     finally:
         tc.close()
+
+
+@pytest.mark.parametrize("dtype", ["int8", "int4"])
+def test_fused_keeps_refine_rescore(student, dtype):
+    """The recall-margin configs (refine_m > 0 — recommended for int8,
+    REQUIRED for int4) must rescore inside the fused dispatch too: fused
+    results equal builder.search's refined results, not the raw sweep's
+    (the regression this pins: the fused path used to drop the rescore)."""
+    b = IndexBuilder(
+        embedding_dim=student.embedding_dim,
+        dtype=dtype,
+        index_type="approx",
+        refine_m=16,
+    )
+    emb = student.encode_documents(DOCS)
+    b.build_from_arrays(emb, [f"d{i}" for i in range(len(DOCS))])
+
+    fused = FusedSearcher(student, b)
+    queries = ["find topic 3", "find topic 17"]
+    fv, fi = fused.search_texts(queries, k=5)
+    assert any(key[2] == "refined" for key in fused._jit_cache), (
+        "fused dispatch did not route through the refine rescore"
+    )
+    q_emb = student.encode_queries(queries)
+    uv, ui = b.search(q_emb, k=5)
+    np.testing.assert_array_equal(fi, ui)
+    np.testing.assert_allclose(fv, uv, atol=1e-4)
+    # the rescored scores are bf16-exact dots of the TRUE rows, not the
+    # quantized sweep's: verify against a host-side rescore of the result
+    rows = emb[fi[0]]
+    expect = rows.astype(np.float32) @ (
+        q_emb[0] / np.linalg.norm(q_emb[0])
+    )
+    np.testing.assert_allclose(fv[0], expect, atol=2e-2)
