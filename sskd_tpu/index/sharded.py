@@ -90,6 +90,11 @@ class ShardedIndex:
         self.doc_ids: list[str] = []
         self._vectors = None  # device array sharded on rows
         self._scales = None
+        # recall-margin rescore: bf16 rows sharded EXACTLY like the
+        # quantized rows, so each shard rescores its own candidates
+        # locally before the all-gather merge (refine_m = 0 disables)
+        self.refine_m = 0
+        self._refine = None
         self._search_fns: dict[tuple, object] = {}  # per-(k, B-bucket) jit cache
         # clustered mode: whole cells are sharded (contiguous reordered row
         # blocks); _perm maps reordered position -> original row
@@ -125,6 +130,9 @@ class ShardedIndex:
         doc_ids: Sequence[str],
         scales_read=None,  # callable (start, stop) -> np scales, or None
         dtype: str = "float32",
+        refine_read=None,  # callable (start, stop) -> bf16 rows, or None
+        refine_m: int = 0,
+        refine_dim: int | None = None,  # unpacked D (= dim unless int4)
     ) -> None:
         """Place rows directly into shard placement. Padding rows (global
         index >= ntotal) are zero-filled per-device; they are masked out of
@@ -163,6 +171,28 @@ class ShardedIndex:
             )
         else:
             self._scales = None
+        if refine_read is not None and refine_m > 0:
+            import ml_dtypes
+
+            rdim = refine_dim if refine_dim is not None else dim
+
+            def refine_cb(index):
+                rows_ix = index[0]
+                start = rows_ix.start or 0
+                stop = rows_ix.stop if rows_ix.stop is not None else padded
+                out = np.zeros((stop - start, rdim), ml_dtypes.bfloat16)
+                valid_end = min(stop, ntotal)
+                if start < valid_end:
+                    out[: valid_end - start] = refine_read(start, valid_end)
+                return out
+
+            self._refine = jax.make_array_from_callback(
+                (padded, rdim), self._row_sharding(), refine_cb
+            )
+            self.refine_m = int(refine_m)
+        else:
+            self._refine = None
+            self.refine_m = 0
         self.ntotal = ntotal
         self.rows_per_shard = per_shard
         self.dtype = dtype
@@ -178,6 +208,7 @@ class ShardedIndex:
         embeddings: np.ndarray,
         doc_ids: Sequence[str],
         dtype: str = "float32",
+        refine_m: int = 0,
     ) -> "ShardedIndex":
         emb = np.asarray(embeddings, dtype=np.float32)
         n, d = emb.shape
@@ -185,6 +216,15 @@ class ShardedIndex:
             raise IndexBuildError("doc_ids length != embedding rows")
         if self.metric == "cosine":
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        refine = None
+        if refine_m > 0:
+            if dtype not in ("int8", "int4"):
+                raise IndexBuildError(
+                    "refine_m rescore applies to quantized rows (int8/int4)"
+                )
+            import ml_dtypes
+
+            refine = emb.astype(ml_dtypes.bfloat16)
 
         scales = None
         if dtype == "int8":
@@ -218,10 +258,14 @@ class ShardedIndex:
             doc_ids,
             scales_read=None if scales is None else (lambda a, b: scales[a:b]),
             dtype=dtype,
+            refine_read=None if refine is None else (lambda a, b: refine[a:b]),
+            refine_m=refine_m,
+            refine_dim=d,
         )
         logger.info(
             f"sharded index: ntotal={n} shards={self.n_shards} "
             f"rows/shard={self.rows_per_shard} dtype={dtype}"
+            + (f" refine_m={refine_m}" if refine_m else "")
         )
         return self
 
@@ -253,6 +297,10 @@ class ShardedIndex:
             )
         vec = builder._vectors
         scales = builder._scales
+        refine = getattr(builder, "_refine", None)
+        if refine is not None and builder.index_type == "clustered":
+            # the sharded clustered engine has no rescore stage
+            refine = None
         idx._place_from_source(
             lambda a, b: vec[a:b],
             vec.shape[1],
@@ -261,6 +309,9 @@ class ShardedIndex:
             builder.doc_ids,
             scales_read=None if scales is None else (lambda a, b: scales[a:b]),
             dtype=builder.dtype,
+            refine_read=None if refine is None else (lambda a, b: refine[a:b]),
+            refine_m=builder.refine_m if refine is not None else 0,
+            refine_dim=refine.shape[1] if refine is not None else None,
         )
         logger.info(
             f"sharded index from builder: ntotal={idx.ntotal} "
@@ -308,6 +359,8 @@ class ShardedIndex:
         np.save(out / "vectors.npy", full)
         if self._scales is not None:
             np.save(out / "scales.npy", np.asarray(self._scales)[: self.ntotal])
+        if self._refine is not None:
+            np.save(out / "refine.npy", np.asarray(self._refine)[: self.ntotal])
         with open(out / "doc_ids.json", "w") as f:
             json.dump(self.doc_ids, f)
         meta = {
@@ -318,6 +371,7 @@ class ShardedIndex:
             "recall_target": self.recall_target,
             "ntotal": self.ntotal,
             "saved_n_shards": self.n_shards,
+            "refine_m": self.refine_m if self._refine is not None else 0,
             "checksums": {
                 "vectors": _file_sha256(out / "vectors.npy"),
                 "doc_ids": hashlib.sha256(
@@ -327,6 +381,8 @@ class ShardedIndex:
         }
         if self._scales is not None:
             meta["checksums"]["scales"] = _file_sha256(out / "scales.npy")
+        if self._refine is not None:
+            meta["checksums"]["refine"] = _file_sha256(out / "refine.npy")
         if self._perm is not None:
             np.save(out / "perm.npy", self._perm)
             # save UNPADDED centroids (mesh-shape agnostic, like the rows)
@@ -380,6 +436,23 @@ class ShardedIndex:
             if _file_sha256(path / "scales.npy") != meta["checksums"].get("scales"):
                 raise IndexLoadError("scales checksum mismatch — corrupt index")
             scales = np.load(path / "scales.npy", mmap_mode="r")
+        refine = None
+        refine_m = int(meta.get("refine_m", 0))
+        if refine_m > 0:
+            if not (path / "refine.npy").exists():
+                # same class of corrupt/partial save as builder.py: meta
+                # promises a rescore stage the files cannot deliver
+                raise IndexLoadError(
+                    f"meta records refine_m {refine_m} > 0 but refine.npy "
+                    "is missing — corrupt or partial index"
+                )
+            if _file_sha256(path / "refine.npy") != meta["checksums"].get("refine"):
+                raise IndexLoadError("refine checksum mismatch — corrupt index")
+            import ml_dtypes
+
+            refine = np.load(path / "refine.npy", mmap_mode="r")
+            if refine.dtype.kind == "V":
+                refine = refine.view(ml_dtypes.bfloat16)
         self.metric = meta["metric"]
         self.method = meta.get("method", "exact")
         self.recall_target = meta.get("recall_target", 0.99)
@@ -404,6 +477,9 @@ class ShardedIndex:
             doc_ids,
             scales_read=None if scales is None else (lambda a, b: np.asarray(scales[a:b])),
             dtype=meta["dtype"],
+            refine_read=None if refine is None else (lambda a, b: np.asarray(refine[a:b])),
+            refine_m=refine_m,
+            refine_dim=refine.shape[1] if refine is not None else None,
         )
         logger.info(
             f"loaded sharded index from {path} "
@@ -427,15 +503,73 @@ class ShardedIndex:
         block = min(self.block_rows, rows_per_shard)
         has_scales = self._scales is not None
         clustered = self._perm is not None
+        has_refine = self._refine is not None and self.refine_m > 0 and not clustered
+        refine_m = self.refine_m
         rpc = self._rows_per_cell
         nprobe = self.nprobe
         recall_target = self.recall_target
         method = self.method
 
-        def local_search(queries, shard, shard_scales=None, shard_cent=None):
+        def local_rescore(queries, shard, shard_scales, shard_refine, offset):
+            """Recall-margin rescore, sharded: the quantized sweep fetches
+            refine_m LOCAL candidates, whose bf16 rows live on THIS shard
+            (refine rows are sharded identically to the quantized rows) —
+            so the exact rescore is a local gather + [B, m, D] einsum, and
+            only the rescored (B, k) scalars cross ICI in the merge.
+            Mirrors ops/topk.py refined_topk_core per shard."""
+            m = max(k, min(refine_m, rows_per_shard))
+            local_valid = jnp.clip(ntotal - offset, 0, rows_per_shard)
+            if _pallas_exact_ok(shard, m):
+                from sskd_tpu.ops.topk_pallas import cosine_topk_pallas_impl
+
+                _, cand = cosine_topk_pallas_impl(
+                    queries, shard, m,
+                    row_scales=shard_scales,
+                    valid_n=local_valid,
+                )
+            else:
+                _, cand = cosine_topk_core(
+                    queries, shard, k=m,
+                    block_rows=block,
+                    row_scales=shard_scales,
+                    valid_n=local_valid,
+                    method="approx",
+                    recall_target=0.95,  # loose: the rescore fixes ordering
+                )
+            safe = jnp.clip(cand, 0, shard_refine.shape[0] - 1)
+            rows = shard_refine[safe]  # [B, m, D] local gather
+            res = jnp.einsum(
+                "bd,bmd->bm",
+                queries.astype(shard_refine.dtype),
+                rows,
+                preferred_element_type=jnp.float32,
+            )
+            neg_inf = float(jnp.finfo(jnp.float32).min / 2)
+            res = jnp.where(cand >= 0, res, neg_inf)
+            vals, pos = jax.lax.top_k(res, min(k, m))
+            idx = jnp.take_along_axis(cand, pos, axis=1)
+            idx = jnp.where(vals > neg_inf / 2, idx + offset, -1)
+            if vals.shape[1] < k:
+                B = queries.shape[0]
+                pad = k - vals.shape[1]
+                vals = jnp.concatenate(
+                    [vals, jnp.full((B, pad), neg_inf, jnp.float32)], axis=1
+                )
+                idx = jnp.concatenate(
+                    [idx, jnp.full((B, pad), -1, jnp.int32)], axis=1
+                )
+            return vals, idx
+
+        def local_search(
+            queries, shard, shard_scales=None, shard_cent=None, shard_refine=None
+        ):
             my = jax.lax.axis_index(axis)
             offset = my * rows_per_shard
-            if clustered and queries.shape[0] <= _cluster_max_batch():
+            if has_refine:
+                vals, idx = local_rescore(
+                    queries, shard, shard_scales, shard_refine, offset
+                )
+            elif clustered and queries.shape[0] <= _cluster_max_batch():
                 # unjitted impl: inside shard_map a nested jit would copy
                 # the shard at the closed_call boundary
                 from sskd_tpu.ops.topk_cluster import clustered_topk_impl
@@ -496,11 +630,15 @@ class ShardedIndex:
             in_specs.append(P(axis))
         if clustered:
             in_specs.append(P(axis, None))
+        if has_refine:
+            in_specs.append(P(axis, None))
 
         def program(q, s, *rest):
-            scales = rest[0] if has_scales else None
-            cent = rest[-1] if clustered else None
-            return local_search(q, s, scales, cent)
+            rest = list(rest)
+            scales = rest.pop(0) if has_scales else None
+            cent = rest.pop(0) if clustered else None
+            refine = rest.pop(0) if has_refine else None
+            return local_search(q, s, scales, cent, refine)
 
         return jax.shard_map(
             program,
@@ -517,6 +655,8 @@ class ShardedIndex:
             args += (self._scales,)
         if self._centroids is not None:
             args += (self._centroids,)
+        if self._refine is not None and self.refine_m > 0 and self._perm is None:
+            args += (self._refine,)
         return args
 
     def map_positions(self, idx: np.ndarray) -> np.ndarray:

@@ -239,3 +239,86 @@ def test_sharded_pallas_local_sweep(monkeypatch):
         # f32 through the Pallas engine must be exactly brute force
         if dtype == "float32":
             np.testing.assert_array_equal(i, gt)
+
+
+def test_sharded_refine_rescore_matches_exact(tmp_path):
+    """refine_m > 0 on a quantized sharded index: each shard rescores its own
+    top-m candidates against local bf16 rows before the merge. With m >=
+    rows/shard-valid the rescore covers every row, so the merged ranking must
+    equal exact brute force (bf16 rounding aside) — for int8 AND packed int4,
+    whose raw quantized rankings both diverge from it."""
+    import pytest
+
+    from sskd_tpu.exceptions import IndexBuildError, IndexLoadError
+    from sskd_tpu.index.sharded import ShardedIndex
+    from sskd_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(13)
+    emb = rng.standard_normal((300, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"d{i}" for i in range(300)]
+    queries = rng.standard_normal((6, 64)).astype(np.float32)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    gt = np.argsort(-(qn @ emb.T), axis=1)[:, :5]
+
+    for dtype in ("int8", "int4"):
+        mesh = create_mesh(data_parallel=1, index_parallel=8)
+        sh = ShardedIndex(mesh, block_rows=128).build_from_arrays(
+            emb, ids, dtype=dtype, refine_m=64
+        )
+        assert sh.refine_m == 64 and sh._refine is not None
+        v, i = sh.search(queries, k=5)
+        # bf16 rescore can flip near-ties, so assert score-equivalence: every
+        # returned doc's TRUE f32 cosine matches the exact top-5's (and the
+        # rescored scores themselves are bf16-exact cosines, not dequantized)
+        full = qn @ emb.T
+        gt_scores = np.take_along_axis(full, gt, axis=1)
+        got_scores = np.take_along_axis(full, i, axis=1)
+        np.testing.assert_allclose(got_scores, gt_scores, atol=1e-2), dtype
+        np.testing.assert_allclose(v, got_scores, atol=2e-2)
+
+        # save -> load roundtrip keeps the rescore stage
+        out = sh.save(tmp_path / f"refine_{dtype}")
+        loaded = ShardedIndex(mesh, block_rows=128).load(out)
+        assert loaded.refine_m == 64 and loaded._refine is not None
+        v1, i1 = loaded.search(queries, k=5)
+        np.testing.assert_array_equal(i, i1)
+        np.testing.assert_allclose(v, v1, rtol=1e-6)
+
+    # refine on un-quantized rows is a config error (nothing to rescore)
+    mesh = create_mesh(data_parallel=1, index_parallel=8)
+    with pytest.raises(IndexBuildError):
+        ShardedIndex(mesh).build_from_arrays(emb, ids, dtype="float32", refine_m=8)
+
+    # a missing/corrupt refine file must fail the load, not silently drop
+    # the rescore stage
+    out = tmp_path / "refine_int8"
+    (out / "refine.npy").unlink()
+    with pytest.raises(IndexLoadError, match="refine"):
+        ShardedIndex(mesh, block_rows=128).load(out)
+
+
+def test_sharded_refine_from_builder():
+    """Lifting a recall-margin (refine_m > 0) builder onto the mesh keeps the
+    rescore stage, and the sharded ranking matches the single-device refined
+    ranking."""
+    from sskd_tpu.index.builder import IndexBuilder
+    from sskd_tpu.index.sharded import ShardedIndex
+    from sskd_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(14)
+    emb = rng.standard_normal((400, 64)).astype(np.float32)
+    ids = [f"d{i}" for i in range(400)]
+    queries = rng.standard_normal((4, 64)).astype(np.float32)
+
+    single = IndexBuilder(
+        embedding_dim=64, dtype="int8", index_type="approx", refine_m=64
+    ).build_from_arrays(emb, ids)
+    v_s, i_s = single.search(queries, k=5)
+
+    mesh = create_mesh(data_parallel=1, index_parallel=8)
+    sh = ShardedIndex.from_builder(single, mesh)
+    assert sh.refine_m == 64 and sh._refine is not None
+    v, i = sh.search(queries, k=5)
+    np.testing.assert_array_equal(i, i_s)
+    np.testing.assert_allclose(v, v_s, rtol=1e-3, atol=1e-3)
