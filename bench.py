@@ -667,6 +667,37 @@ def main() -> None:
             )
             del c4_10, scales4_10
 
+        # per-shard bf16 rescore term for the PRODUCTION int4 config
+        # (int4 + refine_m: index/sharded.py local_rescore). A ~µs gather
+        # + [1, m, D] einsum + top-k at shard-local size — measured with
+        # the same long-chain slope that closed the r03 B=1 merge hole
+        # rather than assumed free.
+        rescore_ms_b1 = None
+        if int4_10m_b1 is not None:
+            refine_m_bench = 40
+            local_rows = rows10 // 8
+            refine_local = jax.random.normal(
+                jax.random.PRNGKey(7), (local_rows, dim), dtype=jnp.bfloat16
+            )
+            cand_fix = jnp.asarray(
+                rng.integers(0, local_rows, (1, refine_m_bench)).astype(np.int32)
+            )
+
+            def rescore_fn(q, refine, cand_i):
+                rows_g = refine[cand_i[0]][None]  # [1, m, D]
+                res = jnp.einsum(
+                    "bd,bmd->bm",
+                    q.astype(refine.dtype),
+                    rows_g,
+                    preferred_element_type=jnp.float32,
+                )
+                return jax.lax.top_k(res, k)
+
+            rescore_ms_b1 = slope_ms(
+                rescore_fn, refine_local, cand_fix, q=q0[:1], hi=2048
+            )
+            del refine_local
+
         # fused serving-path B=1 at 10M: the production serving program is
         # ONE jitted dispatch = encode(L=64) + int8 sweep + top-k
         # (serve/fused.py). Its device-side B=1 latency is the number that
@@ -786,6 +817,22 @@ def main() -> None:
             "projected_p50_ms_10m_8shard_int4": (
                 round(int4_10m_b1 / n_shards + merge_ms_b1 + gather_ms_b1, 3)
                 if int4_10m_b1 is not None
+                else None
+            ),
+            # the production int4 config carries the local bf16 rescore
+            # (measured at shard-local size, m=40) inside each shard
+            "refine_rescore_ms_b1_per_shard": (
+                round(rescore_ms_b1, 4) if rescore_ms_b1 is not None else None
+            ),
+            "projected_p50_ms_10m_8shard_int4_refined": (
+                round(
+                    int4_10m_b1 / n_shards
+                    + rescore_ms_b1
+                    + merge_ms_b1
+                    + gather_ms_b1,
+                    3,
+                )
+                if int4_10m_b1 is not None and rescore_ms_b1 is not None
                 else None
             ),
             "projected_formula": "b1_sweep/8 + measured_merge + ici_bytes/bw",
