@@ -260,6 +260,29 @@ class HybridConfig(BaseModel):
         return self
 
 
+class CacheConfig(BaseModel):
+    """Query-result + embedding caches — the reference declared this block
+    (reference: configs/service.yaml:101-106) and documented the strategy
+    (reference: docs/operations/scaling-and-performance.md "Caching
+    Strategies": result cache keyed by SHA256(normalize(query) + params),
+    TTL invalidation, flush after index rebuilds; an embedding cache keyed
+    per text) but never shipped an implementation. Implemented here
+    in-process and dependency-free (sskd_tpu/serve/cache.py), matching the
+    first-party serving stack; ``backend`` values other than memory are
+    accepted for config-surface parity and degrade loudly to memory."""
+
+    enabled: bool = False
+    backend: str = "memory"  # "memory"/"in-memory" implemented; "redis"/
+    # "memcached" accepted (reference surface) but served by the in-process
+    # store with a startup warning — this stack ships zero external deps
+    redis_url: str = "redis://localhost:6379"  # parity field, unused
+    ttl_seconds: float = Field(default=3600.0, gt=0.0)
+    max_size: int = Field(default=10000, ge=1)
+    # the documented "Embedding Cache" (scaling-and-performance.md): per-text
+    # /encode memoization — independent of the index, so /index/load keeps it
+    embedding_cache: bool = True
+
+
 class SearchConfig(BaseModel):
     """Reference: src/config.py:223-238."""
 
@@ -298,6 +321,7 @@ class Settings(BaseModel):
     monitoring: MonitoringConfig = Field(default_factory=MonitoringConfig)
     service: ServiceConfig = Field(default_factory=ServiceConfig)
     search: SearchConfig = Field(default_factory=SearchConfig)
+    cache: CacheConfig = Field(default_factory=CacheConfig)
     data: DataConfig = Field(default_factory=DataConfig)
 
     @model_validator(mode="after")

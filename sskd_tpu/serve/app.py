@@ -19,7 +19,12 @@ TPU addition: optional MaxSim doc-level aggregation over chunk hits
 (SURVEY.md 5.7). Hybrid BM25+semantic fusion (``search.hybrid``) likewise
 implements the reference's dead ``hybrid:``/``enable_hybrid`` config
 (reference: configs/service.yaml:44-49,110-113) for real — see
-``sskd_tpu/serve/hybrid.py``.
+``sskd_tpu/serve/hybrid.py``. The ``cache:`` block (query-result +
+embedding TTL caches, reference: configs/service.yaml:101-106, also dead
+there) is implemented in ``sskd_tpu/serve/cache.py`` and wired here:
+result-cache check/fill on ``/search`` (degraded rerank responses are
+never cached), per-text memoization on ``/encode``, flush on
+``/index/load`` and ``POST /cache/flush``.
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ class AppState:
         self.ready: bool = False
         self.search_batcher = None  # MicroBatcher when enabled
         self.hybrid = None  # HybridSearcher when search.hybrid.enabled
+        # TTL+LRU caches when cache.enabled (the reference's declared-but-
+        # never-implemented cache: block — see sskd_tpu/serve/cache.py)
+        self.query_cache = None
+        self.embedding_cache = None
 
     def search_index(self, q_emb, k: int):
         """Route to the ICI-sharded engine when present, else single-chip."""
@@ -172,6 +181,10 @@ def create_app(
     state = AppState()
     state.settings = settings
     app.state = state  # exposed for tests/embedding
+    if settings.cache.enabled:
+        from sskd_tpu.serve.cache import make_caches
+
+        state.query_cache, state.embedding_cache = make_caches(settings.cache)
 
     # -- middlewares (added inner->outer; runtime order is APIKey first,
     #    reference: c4-component-serving.md:7) ------------------------------
@@ -379,7 +392,8 @@ def create_app(
                     "/encode",
                     "/index/load",
                     "/metrics",
-                ],
+                ]
+                + (["/cache/flush"] if settings.cache.enabled else []),
             }
         )
 
@@ -431,6 +445,22 @@ def create_app(
             # reference behavior: 503 until an index is loaded
             # (reference: app.py:279-283)
             return Response({"error": "index not loaded"}, status=503)
+
+        cache_key = None
+        if state.query_cache is not None:
+            from sskd_tpu.serve.cache import result_cache_key
+
+            cache_key = result_cache_key(
+                body.query, body.k, body.rerank, body.rerank_top_k
+            )
+            hit = state.query_cache.get(cache_key)
+            if hit is not None:
+                m.CACHE_HITS.labels("result").inc()
+                payload = dict(hit)
+                payload["cached"] = True
+                payload["latency_ms"] = (time.perf_counter() - t_start) * 1000.0
+                return Response(payload)
+            m.CACHE_MISSES.labels("result").inc()
 
         fetch_k = body.rerank_top_k if body.rerank else body.k
         use_maxsim = settings.search.maxsim_aggregation
@@ -543,16 +573,25 @@ def create_app(
             f"search qhash={hash_query(body.query)} k={body.k} "
             f"rerank={reranked} hybrid={hybrid_used} latency_ms={latency_ms:.1f}"
         )
-        return Response(
-            {
-                "query": body.query,
-                "results": [r.model_dump() for r in results],
-                "total_results": len(results),
-                "reranked": reranked,
-                "hybrid": hybrid_used,
-                "latency_ms": latency_ms,
-            }
-        )
+        payload = {
+            "query": body.query,
+            "results": [r.model_dump() for r in results],
+            "total_results": len(results),
+            "reranked": reranked,
+            "hybrid": hybrid_used,
+            "latency_ms": latency_ms,
+        }
+        if cache_key is not None:
+            # don't cache a DEGRADED response: a rerank request that timed
+            # out fell back to bi-encoder order, and serving that from cache
+            # for ttl_seconds would pin the degradation past the incident
+            if not (body.rerank and not reranked):
+                state.query_cache.put(
+                    cache_key, {k: v for k, v in payload.items() if k != "latency_ms"}
+                )
+                m.CACHE_ENTRIES.labels("result").set(len(state.query_cache))
+            payload["cached"] = False
+        return Response(payload)
 
     @app.post("/encode")
     async def encode(request: Request) -> Response:
@@ -561,7 +600,30 @@ def create_app(
         if not state.ready or state.student is None:
             return Response({"error": "service not ready"}, status=503)
         t0 = time.perf_counter()
-        emb = state.student.encode(body.texts, normalize=body.normalize)
+        if state.embedding_cache is not None:
+            # the documented per-text embedding cache (reference:
+            # docs/operations/scaling-and-performance.md "Embedding Cache"):
+            # only cache MISSES reach the encoder, as one batch
+            import numpy as np
+
+            from sskd_tpu.serve.cache import embedding_cache_key
+
+            keys = [embedding_cache_key(t, body.normalize) for t in body.texts]
+            rows = [state.embedding_cache.get(k) for k in keys]
+            miss = [i for i, r in enumerate(rows) if r is None]
+            m.CACHE_HITS.labels("embedding").inc(len(rows) - len(miss))
+            m.CACHE_MISSES.labels("embedding").inc(len(miss))
+            if miss:
+                fresh = state.student.encode(
+                    [body.texts[i] for i in miss], normalize=body.normalize
+                )
+                for j, i in enumerate(miss):
+                    rows[i] = np.asarray(fresh[j])
+                    state.embedding_cache.put(keys[i], rows[i])
+                m.CACHE_ENTRIES.labels("embedding").set(len(state.embedding_cache))
+            emb = np.stack(rows)
+        else:
+            emb = state.student.encode(body.texts, normalize=body.normalize)
         m.ENCODE_LATENCY.observe(time.perf_counter() - t0)
         return Response(
             {
@@ -589,8 +651,32 @@ def create_app(
         state.maybe_shard_index(settings)
         state.make_fused()
         m.INDEX_SIZE.set(builder.ntotal)
+        if state.query_cache is not None:
+            # the documented "flush the cache after index rebuilds"
+            # (reference: scaling-and-performance.md:197); embeddings don't
+            # depend on the index and survive the swap
+            dropped = state.query_cache.clear()
+            m.CACHE_ENTRIES.labels("result").set(0)
+            if dropped:
+                logger.info(f"index swap flushed {dropped} cached results")
         return Response(
             {"loaded": True, "index_size": builder.ntotal, "dir": str(index_dir)}
         )
+
+    if settings.cache.enabled:
+        # operational flush — the in-process analog of the reference's
+        # documented `redis-cli FLUSHDB` after model updates
+        # (reference: scaling-and-performance.md:197)
+        @app.post("/cache/flush")
+        async def cache_flush(request: Request) -> Response:
+            flushed = {"result": 0, "embedding": 0}
+            for name, c in (
+                ("result", state.query_cache),
+                ("embedding", state.embedding_cache),
+            ):
+                if c is not None:
+                    flushed[name] = c.clear()
+                    m.CACHE_ENTRIES.labels(name).set(0)
+            return Response({"flushed": flushed})
 
     return app

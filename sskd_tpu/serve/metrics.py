@@ -69,6 +69,24 @@ RERANK_TRIGGERS = Counter(
     "Searches that requested reranking",
     registry=REGISTRY,
 )
+CACHE_HITS = Counter(
+    "semantic_kd_cache_hits_total",
+    "Cache hits (result = /search payloads, embedding = /encode vectors)",
+    ["cache"],
+    registry=REGISTRY,
+)
+CACHE_MISSES = Counter(
+    "semantic_kd_cache_misses_total",
+    "Cache misses",
+    ["cache"],
+    registry=REGISTRY,
+)
+CACHE_ENTRIES = Gauge(
+    "semantic_kd_cache_entries",
+    "Entries currently held by each cache",
+    ["cache"],
+    registry=REGISTRY,
+)
 QUERIES_PER_SECOND = Gauge(
     "semantic_kd_queries_per_second_chip",
     "Most recent measured search throughput per chip",
