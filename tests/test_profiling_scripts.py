@@ -44,6 +44,23 @@ def test_encode_variants_smoke(tmp_path):
         assert "docs_per_s" in row
 
 
+def test_bench_serving_cache_arm_smoke(tmp_path):
+    """--cache boots the service with the result cache, the distinct-query
+    ladder stays all-miss (unique queries across the whole run), and the
+    hit-path block records an all-hit repeated-query measurement."""
+    out = _run(
+        "bench_serving.py",
+        "--rows", "512", "--requests", "8", "--levels", "1,2",
+        "--arch", "tiny", "--platform", "cpu", "--cache",
+        "--out", str(tmp_path / "serve.json"),
+    )
+    cache = out["detail"]["result_cache"]
+    assert cache["all_hits"] is True
+    assert cache["hit_p50_ms"] >= 0.0
+    assert cache["miss_p50_ms"] == out["detail"]["sequential_p50_ms"]
+    assert out["detail"]["all_correct"] is True
+
+
 def test_train_step_remat_smoke(tmp_path):
     out = _run(
         "profile_train_step.py",
