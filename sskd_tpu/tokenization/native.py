@@ -14,6 +14,7 @@ serving tokenize both funnel through here). The binding:
 from __future__ import annotations
 
 import ctypes
+import os
 import threading
 import subprocess
 from pathlib import Path
@@ -30,48 +31,73 @@ _LIB: ctypes.CDLL | None = None
 _LIB_FAILED = False
 
 
+def _make(force: bool = False) -> None:
+    cmd = ["make", "-C", str(_NATIVE_DIR)] + (["-B"] if force else [])
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every exported symbol's signature. Raises AttributeError if
+    the shared object predates a symbol (stale build cache)."""
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_tokenize.restype = ctypes.c_int
+    lib.wp_tokenize.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.wp_tokenize_batch.restype = None
+    lib.wp_tokenize_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    return lib
+
+
 def _load_library() -> ctypes.CDLL | None:
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     try:
         if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.wp_create.restype = ctypes.c_void_p
-        lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
-        lib.wp_free.argtypes = [ctypes.c_void_p]
-        lib.wp_tokenize.restype = ctypes.c_int
-        lib.wp_tokenize.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
-        ]
-        lib.wp_tokenize_batch.restype = None
-        lib.wp_tokenize_batch.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_longlong),
-            ctypes.POINTER(ctypes.c_longlong),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
-        ]
-        _LIB = lib
+            _make()
+        try:
+            _LIB = _bind(ctypes.CDLL(str(_LIB_PATH)))
+        except AttributeError:
+            # a cached .so from an older source revision lacks a symbol
+            # (e.g. wp_tokenize_batch). Force-rebuild and load the fresh
+            # binary through a temp copy: dlopen dedups by pathname/inode,
+            # so reloading _LIB_PATH directly can hand back the stale
+            # mapping that is already resident in this process.
+            _make(force=True)
+            import shutil
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(
+                suffix=".so", delete=False
+            ) as tmp:
+                shutil.copyfile(_LIB_PATH, tmp.name)
+                fresh = tmp.name
+            try:
+                _LIB = _bind(ctypes.CDLL(fresh))
+            finally:
+                os.unlink(fresh)  # mapping stays valid after unlink
         logger.info(f"native wordpiece core loaded from {_LIB_PATH}")
-    except (subprocess.SubprocessError, OSError) as e:
+    except (subprocess.SubprocessError, OSError, AttributeError) as e:
         logger.warning(f"native tokenizer unavailable ({e}); pure-python fallback")
         _LIB_FAILED = True
     return _LIB
