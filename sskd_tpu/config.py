@@ -113,6 +113,10 @@ class TrainingConfig(BaseModel):
     # masks carry no reproducibility contract across impls; "threefry2x32"
     # restores the JAX default if bit-exact cross-backend replay matters.
     rng_impl: Literal["rbg", "unsafe_rbg", "threefry2x32"] = "rbg"
+    # host batches packed ahead of the device by a producer thread
+    # (kd/dataset.py prefetch_batches): tokenization overlaps the async
+    # train-step dispatch instead of serializing with it. 0 = synchronous.
+    prefetch_batches: int = Field(default=2, ge=0)
     seed: int = 42
     output_dir: str = "artifacts/models/kd_student"
     resume: bool = True

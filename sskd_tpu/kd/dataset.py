@@ -14,8 +14,10 @@ their teacher scores as soft labels.
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass, field
-from typing import Iterator, Sequence
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
@@ -115,3 +117,67 @@ class KDDataset:
     def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:
         n = len(self.samples)
         return n // batch_size if drop_last else -(-n // batch_size)
+
+
+_PREFETCH_END = object()
+
+
+def prefetch_batches(
+    batches: Iterable[dict[str, np.ndarray]], size: int = 2
+) -> Iterator[dict[str, np.ndarray]]:
+    """Overlap host-side batch packing with device compute.
+
+    A daemon thread drains ``batches`` (tokenize + pad, pure host work —
+    the C++ WordPiece batch call releases the GIL, so the producer runs
+    truly concurrently with the consumer's dispatch bookkeeping) into a
+    bounded queue while the train loop keeps the device busy. With JAX's
+    async dispatch the consumer only blocks on queue *gets*, so the
+    device never starves waiting for tokenization. ``size=0`` degrades to
+    plain synchronous iteration.
+
+    Order is preserved exactly; producer exceptions re-raise in the
+    consumer; abandoning the iterator (early break / GC) unblocks and
+    stops the producer.
+    """
+    if size <= 0:
+        yield from batches
+        return
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    failure: list[BaseException] = []
+
+    def _produce() -> None:
+        try:
+            for item in batches:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as exc:  # surfaced to the consumer below
+            failure.append(exc)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_PREFETCH_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    worker = threading.Thread(
+        target=_produce, name="kd-batch-prefetch", daemon=True
+    )
+    worker.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _PREFETCH_END:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from sskd_tpu.config import Settings
-from sskd_tpu.kd.dataset import KDDataset, KDSample
+from sskd_tpu.kd.dataset import KDDataset, KDSample, prefetch_batches
 from sskd_tpu.kd.losses import combined_kd_loss, temperature_at
 from sskd_tpu.utils.logging import get_logger
 from sskd_tpu.utils.metrics import ndcg_at_k
@@ -388,8 +388,16 @@ class KDTrainer:
             losses, components = [], {"margin_mse": [], "listwise_kd": [], "contrastive": []}
             improved_mid_epoch = False
             step_evals: list[dict] = []
-            for batch in dataset.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+            # Packing runs in a producer thread so tokenization overlaps
+            # the device; aux scalars stay on device until epoch end so the
+            # loop never forces a per-step host sync (JAX async dispatch
+            # keeps N steps in flight; a per-step float() would drain the
+            # pipeline every iteration).
+            for batch in prefetch_batches(
+                dataset.batches(
+                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+                ),
+                size=cfg.prefetch_batches,
             ):
                 progress = jnp.float32(global_step / max(1, total_steps - 1))
                 step_rng = jax.random.fold_in(dropout_rng, global_step)
@@ -398,9 +406,9 @@ class KDTrainer:
                 params, opt_state, aux = self._train_step(
                     params, opt_state, batch, progress, step_rng
                 )
-                losses.append(float(aux["loss"]))
+                losses.append(aux["loss"])
                 for key in components:
-                    components[key].append(float(aux[key]))
+                    components[key].append(aux[key])
                 global_step += 1
                 # step-granular checkpoint / eval (training.save_steps /
                 # eval_steps; 0 disables — fields the reference declared but
@@ -460,6 +468,9 @@ class KDTrainer:
                         finally:
                             self.student.params = old_params
 
+            # single bulk transfer drains every step's deferred aux scalars
+            losses = jax.device_get(losses)
+            components = {k: jax.device_get(v) for k, v in components.items()}
             record = {
                 "epoch": epoch + 1,
                 "train_loss": float(np.mean(losses)),

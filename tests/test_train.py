@@ -74,6 +74,67 @@ class TestKDDataset:
         assert len(list(ds.batches(4, drop_last=True))) == 1
 
 
+class TestPrefetchBatches:
+    def test_order_and_content_parity(self, tokenizer):
+        from sskd_tpu.kd.dataset import prefetch_batches
+
+        ds = KDDataset(_make_samples(13), tokenizer, num_docs=2, query_len=8, doc_len=8)
+        sync = list(ds.batches(4, shuffle=True, seed=7))
+        pre = list(prefetch_batches(ds.batches(4, shuffle=True, seed=7), size=2))
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])
+
+    def test_size_zero_is_synchronous_passthrough(self):
+        from sskd_tpu.kd.dataset import prefetch_batches
+
+        items = [{"x": np.array([i])} for i in range(5)]
+        assert list(prefetch_batches(iter(items), size=0)) == items
+
+    def test_producer_exception_reraises_in_consumer(self):
+        from sskd_tpu.kd.dataset import prefetch_batches
+
+        def boom():
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("pack failed")
+
+        it = prefetch_batches(boom(), size=2)
+        next(it)
+        with pytest.raises(RuntimeError, match="pack failed"):
+            list(it)
+
+    def test_early_break_stops_producer(self):
+        import threading
+
+        from sskd_tpu.kd.dataset import prefetch_batches
+
+        produced = []
+
+        def many():
+            for i in range(10_000):
+                produced.append(i)
+                yield {"x": np.array([i])}
+
+        it = prefetch_batches(many(), size=2)
+        for _ in range(3):
+            next(it)
+        it.close()  # abandon mid-stream: must not deadlock or keep producing
+        before = len(produced)
+        # the producer thread observes the stop event within its 0.1s put
+        # timeout; give it a few polls then confirm it has halted
+        for _ in range(50):
+            if not any(
+                t.name == "kd-batch-prefetch" and t.is_alive()
+                for t in threading.enumerate()
+            ):
+                break
+            import time
+
+            time.sleep(0.05)
+        assert len(produced) <= before + 3  # bounded by queue depth, not 10k
+
+
 class TestKDTrainer:
     def _settings(self, **training_overrides):
         base = {
