@@ -247,10 +247,15 @@ class TeacherTrainer:
                 labels[idx],
                 jax.random.fold_in(base_key, step),
             )
-            losses.append(float(loss))
+            # keep the loss on device: a per-step float() would block the
+            # host on every dispatch; sync only at log points and at the end
+            losses.append(loss)
             if (step + 1) % max(1, steps // 5) == 0:
-                logger.info(f"teacher step {step + 1}/{steps}: loss={losses[-1]:.4f}")
+                logger.info(
+                    f"teacher step {step + 1}/{steps}: loss={float(losses[-1]):.4f}"
+                )
 
+        losses = [float(x) for x in jax.device_get(losses)]
         self.teacher.params = params
         self.teacher.cleanup()  # drop score-jit caches bound to old params
 
