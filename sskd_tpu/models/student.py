@@ -279,6 +279,12 @@ class StudentModel:
         if prefix:
             texts = [prefix + t for t in texts]
         out = []
+        # double-buffer: dispatch chunk i, then tokenize + dispatch chunk
+        # i+1 BEFORE pulling chunk i to host — JAX's async dispatch keeps
+        # the device busy through chunk i while the host tokenizes i+1, so
+        # a corpus build overlaps tokenization with encode instead of
+        # alternating them.
+        pending: tuple | None = None  # (device embeddings, live rows)
         for start in range(0, len(texts), batch_size):
             chunk = list(texts[start : start + batch_size])
             n = len(chunk)
@@ -293,7 +299,11 @@ class StudentModel:
             batch = self.tokenize_batch(chunk)
             fn = self._encode_fn(batch["input_ids"].shape[1])
             emb = fn(self.params, batch["input_ids"], batch["attention_mask"])
-            out.append(np.asarray(emb)[:n])
+            if pending is not None:
+                out.append(np.asarray(pending[0])[: pending[1]])
+            pending = (emb, n)
+        if pending is not None:
+            out.append(np.asarray(pending[0])[: pending[1]])
         emb = np.concatenate(out, axis=0)
         if normalize is not None and normalize != self.normalize:
             if normalize:
