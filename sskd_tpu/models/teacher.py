@@ -189,6 +189,11 @@ class TeacherModel:
         if not pairs:
             return []
         out: list[float] = []
+        # double-buffer (same pattern as StudentModel.encode): tokenize +
+        # dispatch chunk i+1 before pulling chunk i so host tokenization
+        # overlaps the device's cross-encoder forward — mining scores
+        # thousands of pairs through here.
+        pending = None
         for start in range(0, len(pairs), batch_size):
             chunk = pairs[start : start + batch_size]
             queries = [q for q, _ in chunk]
@@ -208,7 +213,11 @@ class TeacherModel:
                 batch["attention_mask"],
                 batch["token_type_ids"],
             )
-            out.extend(np.asarray(logits, dtype=np.float64).tolist())
+            if pending is not None:
+                out.extend(np.asarray(pending, dtype=np.float64).tolist())
+            pending = logits
+        if pending is not None:
+            out.extend(np.asarray(pending, dtype=np.float64).tolist())
         return out
 
     def predict(self, pairs: Sequence[Sequence[str]]) -> list[float]:
