@@ -61,6 +61,20 @@ def test_bench_serving_cache_arm_smoke(tmp_path):
     assert out["detail"]["all_correct"] is True
 
 
+def test_input_pipeline_smoke(tmp_path):
+    """Both prefetch arms of the real train loop execute; the JSON carries
+    the overlap ratio the TPU run will publish."""
+    out = _run(
+        "profile_input_pipeline.py",
+        "--arch", "tiny", "--platform", "cpu",
+        "--out", str(tmp_path / "pipe.json"),
+    )
+    assert out["arch"] == "tiny"
+    assert out["prefetch0"]["epoch2_s"] > 0.0
+    assert out["prefetch2"]["epoch2_s"] > 0.0
+    assert out["overlap_speedup"] > 0.0
+
+
 def test_train_step_remat_smoke(tmp_path):
     out = _run(
         "profile_train_step.py",
