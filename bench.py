@@ -156,7 +156,12 @@ def _probe_device(timeout_s: int = 180) -> bool:
     2026-08-17: the stdio relay died and every process blocked in an
     uninterruptible poll) — probe from a SUBPROCESS with a timeout so the
     bench emits an explicit error line instead of hanging to the driver's
-    timeout with empty output."""
+    timeout with empty output.
+
+    Retries (SSKD_BENCH_PROBE_RETRIES, default 2 attempts total): a relay
+    that just came back can refuse the first connection while its worker
+    warms; one retry after a short pause turns "flaky recovery at driver
+    time" into a measured record instead of another 0.0 stub."""
     import subprocess
 
     code = (
@@ -165,15 +170,24 @@ def _probe_device(timeout_s: int = 180) -> bool:
         "p and jax.config.update('jax_platforms', p);"
         "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()"
     )
-    try:
-        return (
-            subprocess.run(
-                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-            ).returncode
-            == 0
-        )
-    except subprocess.TimeoutExpired:
-        return False
+    attempts = max(1, int(os.environ.get("SSKD_BENCH_PROBE_RETRIES", "2")))
+    for i in range(attempts):
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", code],
+                    timeout=timeout_s,
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        if i + 1 < attempts:
+            time.sleep(15)
+    return False
 
 
 def main() -> None:

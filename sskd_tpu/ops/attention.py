@@ -476,6 +476,23 @@ def _flash_diff_bwd(res, g):
 _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+def flash_auto_decision(B: int, h: int, L: int) -> bool:
+    """Auto-dispatch rule: flash when the XLA path would materialize a
+    large [B, h, L, L] score tensor in HBM. Defaults — L >= 384 and
+    B*h*L*L f32 > 256 MB (at B=256/L=512 the e5 encode path writes+reads
+    ~3.2 GB of scores PER LAYER, which is what pinned the L=512 encode at
+    ~20% MFU — VERDICT r3 weak #2) — were chosen analytically; the
+    measured crossover ladder (scripts/profile_encode_variants.py)
+    recalibrates them at runtime via SSKD_FLASH_AUTO_MIN_L /
+    SSKD_FLASH_AUTO_SCORE_MB without a code change. L % 128 == 0 is a
+    kernel lane-tiling requirement, not tunable.
+    """
+    min_l = int(os.environ.get("SSKD_FLASH_AUTO_MIN_L", "384"))
+    score_mb = float(os.environ.get("SSKD_FLASH_AUTO_SCORE_MB", "256"))
+    score_bytes = 4.0 * B * h * L * L
+    return L >= min_l and L % 128 == 0 and score_bytes > score_mb * 1e6
+
+
 def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
     """Dispatching attention: Pallas flash on TPU when enabled, XLA otherwise.
 
@@ -483,10 +500,8 @@ def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
     flash path converts it back to a boolean keep-mask.
 
     SSKD_FLASH_ATTENTION: 1 forces flash, 0 forces XLA, unset = auto —
-    flash when the XLA path would materialize a large [B, h, L, L] score
-    tensor in HBM (B*h*L*L f32 > 256 MB and L >= 384: at B=256/L=512 the
-    e5 encode path writes+reads ~3.2 GB of scores PER LAYER, which is
-    what pinned the L=512 encode at ~20% MFU — VERDICT r3 weak #2).
+    see ``flash_auto_decision`` (thresholds env-tunable for crossover
+    recalibration).
 
     Differentiable on every path: the flash branch carries a custom VJP
     whose backward is the XLA attention pullback, so jax.grad through a
@@ -499,8 +514,7 @@ def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
             use_flash = env == "1"
         else:
             B, h, L, _ = q.shape
-            score_bytes = 4.0 * B * h * L * L
-            use_flash = L >= 384 and L % 128 == 0 and score_bytes > 256e6
+            use_flash = flash_auto_decision(B, h, L)
     if use_flash and jax.default_backend() == "tpu":
         B, _, L, _ = q.shape
         if bias is None:
