@@ -172,7 +172,17 @@ def main() -> int:
         # communicate(timeout=300) is the hard wall-clock ceiling: a wedged
         # or 10x-regressed cross-process path raises TimeoutExpired and the
         # run fails loudly instead of hanging (VERDICT r4 weak #7)
-        out = p.communicate(timeout=300)[0].decode()
+        try:
+            out = p.communicate(timeout=300)[0].decode()
+        except subprocess.TimeoutExpired:
+            # kill BOTH workers before failing: an orphan blocked in
+            # jax.distributed.initialize holds the coordinator port and
+            # wedges every retry until killed by hand
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+                    q.communicate()
+            raise
         marker = f"DCN-DRYRUN-OK p{i}" in out
         ok = ok and p.returncode == 0 and marker
         print(f"--- worker {i} (rc={p.returncode}, marker={marker}) ---")

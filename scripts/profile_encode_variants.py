@@ -125,6 +125,7 @@ def main() -> None:
     # wins, the recommendation pins auto-dispatch off (VERDICT r4 weak #2:
     # the analytic constants must not silently pick the slower path).
     flash_wins = []
+    h = cfg.num_heads
     for L in (int(x) for x in args.seq_lens.split(",") if x):
         x_ms = results[f"B{B}_L{L}_xla"]["ms_per_batch"]
         f_ms = results[f"B{B}_L{L}_flash"]["ms_per_batch"]
@@ -132,9 +133,19 @@ def main() -> None:
         results[f"B{B}_L{L}_winner"] = winner
         if winner == "flash" and L % 128 == 0:
             flash_wins.append(L)
-    results["recommended_env"] = {
-        "SSKD_FLASH_AUTO_MIN_L": str(min(flash_wins)) if flash_wins else "1000000",
-    }
+    if flash_wins:
+        # BOTH gates must open at the smallest winning shape: MIN_L alone
+        # can leave the 256 MB score-bytes gate shut (e.g. B=256/h=12/L=128
+        # scores ~201 MB < 256 MB), silently keeping the slower path.
+        min_l = min(flash_wins)
+        score_mb = 4.0 * B * h * min_l * min_l / 1e6
+        rec = {
+            "SSKD_FLASH_AUTO_MIN_L": str(min_l),
+            "SSKD_FLASH_AUTO_SCORE_MB": str(round(score_mb * 0.9, 3)),
+        }
+    else:  # flash never wins: pin auto-dispatch off
+        rec = {"SSKD_FLASH_AUTO_MIN_L": "1000000"}
+    results["recommended_env"] = rec
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=2) + "\n")

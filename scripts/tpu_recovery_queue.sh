@@ -24,15 +24,17 @@ timeout 1800 python scripts/profile_encode_variants.py \
 echo "encode ladder done $(date)"
 commit_art artifacts/bench/encode_variants_r5.json "Measured TPU encode-variant ladder (round 5)"
 # Apply the measured crossover to every subsequent stage (auto-dispatch
-# recalibration — flash_auto_decision reads SSKD_FLASH_AUTO_MIN_L).
-REC_MIN_L=$(python -c "
-import json,sys
+# recalibration — flash_auto_decision reads SSKD_FLASH_AUTO_MIN_L and
+# SSKD_FLASH_AUTO_SCORE_MB; both gates must open, so export every key
+# the ladder recommends).
+eval "$(python -c "
+import json
 try:
-    r=json.load(open('artifacts/bench/encode_variants_r5.json'))
-    print(r.get('recommended_env',{}).get('SSKD_FLASH_AUTO_MIN_L',''))
+    r = json.load(open('artifacts/bench/encode_variants_r5.json'))
+    for k, v in r.get('recommended_env', {}).items():
+        print(f'export {k}={v}; echo recalibrated {k}={v}')
 except Exception:
-    print('')" 2>/dev/null)
-if [ -n "$REC_MIN_L" ]; then export SSKD_FLASH_AUTO_MIN_L="$REC_MIN_L"; echo "recalibrated SSKD_FLASH_AUTO_MIN_L=$REC_MIN_L"; fi
+    pass" 2>/dev/null)"
 # 2. Train-step remat sweep (VERDICT item 3)
 timeout 1800 python scripts/profile_train_step.py \
   --out artifacts/bench/train_step_remat_r5.json > /tmp/r5_train.log 2>&1

@@ -546,18 +546,12 @@ class ShardedIndex:
             )
             neg_inf = float(jnp.finfo(jnp.float32).min / 2)
             res = jnp.where(cand >= 0, res, neg_inf)
-            vals, pos = jax.lax.top_k(res, min(k, m))
+            # m >= k by construction (m = max(k, ...)), so this is always
+            # exactly k wide — no short-output pad needed here (unlike
+            # refined_topk_core, where k_eff can be < k)
+            vals, pos = jax.lax.top_k(res, k)
             idx = jnp.take_along_axis(cand, pos, axis=1)
             idx = jnp.where(vals > neg_inf / 2, idx + offset, -1)
-            if vals.shape[1] < k:
-                B = queries.shape[0]
-                pad = k - vals.shape[1]
-                vals = jnp.concatenate(
-                    [vals, jnp.full((B, pad), neg_inf, jnp.float32)], axis=1
-                )
-                idx = jnp.concatenate(
-                    [idx, jnp.full((B, pad), -1, jnp.int32)], axis=1
-                )
             return vals, idx
 
         def local_search(

@@ -517,6 +517,13 @@ def scaled_dot_attention(q, k, v, bias=None, use_flash: bool | None = None):
             use_flash = flash_auto_decision(B, h, L)
     if use_flash and jax.default_backend() == "tpu":
         B, _, L, _ = q.shape
+        if L % 128:
+            # Forced flash (SSKD_FLASH_ATTENTION=1) on a short serving /
+            # training bucket (L in {16,32,64,...}): degrade to XLA at the
+            # dispatcher instead of 500ing every request — the hard
+            # lane-alignment error in flash_attention stays for direct
+            # kernel callers, who chose the kernel explicitly.
+            return xla_attention(q, k, v, bias)
         if bias is None:
             mask = jnp.ones((B, L), dtype=jnp.int32)
             bias_arr = jnp.zeros((B, 1, 1, L), jnp.float32)

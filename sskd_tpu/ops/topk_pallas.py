@@ -69,8 +69,10 @@ def _unpack_nibbles(packed):
     """[R, D/2] uint8 -> (lo, hi) int8 nibble values in [-7, 7] (halves
     layout, ops/quant.py quantize_rows_int4). int8 outputs keep the hot
     phase-A dots on the MXU's int8 mode (2x the bf16 rate, same as the
-    int8 sweep); the math is exact regardless of accumulator since
-    |product| <= 8 * 127 and D <= 2^17 keeps partial sums below 2^24."""
+    int8 sweep). Phase A accumulates in int32, exact for any realistic D;
+    the f32 half-dot path (_gather_kernel) is exact while 1016 * D < 2^24
+    (|product| <= 8*127 = 1016), i.e. D <= ~16k — far above today's
+    embedding dims, but not unconditional."""
     p = packed.astype(jnp.int32)
     lo = ((p & 15) - 8).astype(jnp.int8)
     hi = ((p >> 4) - 8).astype(jnp.int8)

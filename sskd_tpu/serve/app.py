@@ -618,7 +618,9 @@ def create_app(
                     [body.texts[i] for i in miss], normalize=body.normalize
                 )
                 for j, i in enumerate(miss):
-                    rows[i] = np.asarray(fresh[j])
+                    # copy: a row VIEW would pin the whole encode batch
+                    # (its .base) in the cache until eviction
+                    rows[i] = np.asarray(fresh[j]).copy()
                     state.embedding_cache.put(keys[i], rows[i])
                 m.CACHE_ENTRIES.labels("embedding").set(len(state.embedding_cache))
             emb = np.stack(rows)

@@ -190,7 +190,10 @@ class NativeWordPiece:
         if n_threads == 0:
             import os
 
-            n_threads = int(os.environ.get("SSKD_TOKENIZER_THREADS", "0"))
+            try:
+                n_threads = int(os.environ.get("SSKD_TOKENIZER_THREADS", "0"))
+            except ValueError:  # malformed knob degrades to the default,
+                n_threads = 0  # never a hot-path outage
         if n == 0:
             return (
                 np.empty((0, cap), np.int32),
