@@ -1,18 +1,17 @@
 #!/bin/bash
 # Round-5 measurement queue — runs once on TPU recovery (VERDICT r4 items 1-5).
 # Skips itself if the interactive session already claimed the device.
+#
+# ORDER = value density under an uncertain recovery window: the encode
+# ladder first (quick, and its measured crossover recalibrates dispatch
+# for everything after), then the full official bench (the round's #1
+# ask), then the remaining profilers; the long TPU-gated pytest pass
+# runs LAST so a short window still lands the measurement artifacts.
 set -x
 if [ -f /tmp/r5_claimed ]; then echo "session claimed device; auto-queue exiting"; exit 0; fi
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 mkdir -p artifacts/bench
-# 0. Every TPU-gated test in the suite (VERDICT r4 weak #3 + weak #6):
-#    fused dropout p>0 parity, flash-dispatch grad compile, TPU PRNG
-#    parity. (The PRODUCTION semantic gate stays weights-bound, not
-#    TPU-bound — it needs a mounted trained checkpoint, out of scope.)
-timeout 2400 python -m pytest tests/test_attention.py tests/test_train.py \
-  -q > /tmp/r5_attn_tpu.log 2>&1
-echo "TPU-gated tests done $(date)"
 commit_art() {  # commit one stage's artifact so progress is visible
   git add "$1" 2>/dev/null && git commit -q -m "$2
 
@@ -35,23 +34,31 @@ try:
         print(f'export {k}={v}; echo recalibrated {k}={v}')
 except Exception:
     pass" 2>/dev/null)"
-# 2. Train-step remat sweep (VERDICT item 3)
-timeout 1800 python scripts/profile_train_step.py \
-  --out artifacts/bench/train_step_remat_r5.json > /tmp/r5_train.log 2>&1
-echo "train sweep done $(date)"
-commit_art artifacts/bench/train_step_remat_r5.json "Measured TPU train-step remat sweep (round 5)"
-# 2b. Input-pipeline overlap: real train loop, prefetch 0 vs 2
-timeout 1800 python scripts/profile_input_pipeline.py \
-  --out artifacts/bench/input_pipeline_r5.json > /tmp/r5_ipipe.log 2>&1
-echo "input pipeline done $(date)"
-commit_art artifacts/bench/input_pipeline_r5.json "Measured TPU train-loop input-pipeline overlap (round 5)"
-# 3. TPU serving ladder (VERDICT item 4)
-timeout 2400 python scripts/bench_serving.py --rows 1000000 --requests 200 --levels 1,4,8,16 --cache \
-  --arch e5 --out artifacts/bench/serving_tpu_1m_e5.json > /tmp/r5_serving.log 2>&1
-echo "serving ladder done $(date)"
-commit_art artifacts/bench/serving_tpu_1m_e5.json "Measured TPU serving ladder, 1M-row e5 (round 5)"
-# 4. Full official bench (headline + every detail block incl. 10M re-measure)
+# 2. Full official bench (headline + every detail block incl. 10M re-measure)
 timeout 3600 env SSKD_BENCH_MODEL=1 python bench.py > /tmp/r5_bench.json 2> /tmp/r5_bench.log
 echo "bench done $(date)"
 cp /tmp/r5_bench.json artifacts/bench/bench_r05_interim.json 2>/dev/null || true
 commit_art artifacts/bench/bench_r05_interim.json "Full TPU bench record (round 5 interim)"
+# 3. Train-step remat sweep (VERDICT item 3)
+timeout 1800 python scripts/profile_train_step.py \
+  --out artifacts/bench/train_step_remat_r5.json > /tmp/r5_train.log 2>&1
+echo "train sweep done $(date)"
+commit_art artifacts/bench/train_step_remat_r5.json "Measured TPU train-step remat sweep (round 5)"
+# 4. TPU serving ladder (VERDICT item 4)
+timeout 2400 python scripts/bench_serving.py --rows 1000000 --requests 200 --levels 1,4,8,16 --cache \
+  --arch e5 --out artifacts/bench/serving_tpu_1m_e5.json > /tmp/r5_serving.log 2>&1
+echo "serving ladder done $(date)"
+commit_art artifacts/bench/serving_tpu_1m_e5.json "Measured TPU serving ladder, 1M-row e5 (round 5)"
+# 5. Input-pipeline overlap: real train loop, prefetch 0 vs 2
+timeout 1800 python scripts/profile_input_pipeline.py \
+  --out artifacts/bench/input_pipeline_r5.json > /tmp/r5_ipipe.log 2>&1
+echo "input pipeline done $(date)"
+commit_art artifacts/bench/input_pipeline_r5.json "Measured TPU train-loop input-pipeline overlap (round 5)"
+# 6. Every TPU-gated test in the suite (VERDICT r4 weak #3 + weak #6):
+#    fused dropout p>0 parity, flash-dispatch grad compile, TPU PRNG
+#    parity. (The PRODUCTION semantic gate stays weights-bound, not
+#    TPU-bound — it needs a mounted trained checkpoint, out of scope.)
+timeout 2400 python -m pytest tests/test_attention.py tests/test_train.py \
+  -q > /tmp/r5_attn_tpu.log 2>&1
+echo "TPU-gated tests done $(date); results:"
+tail -3 /tmp/r5_attn_tpu.log
