@@ -343,3 +343,32 @@ def test_maxsim_aggregation_route(monkeypatch, fake_student, tmp_path):
         assert set(returned) <= {"docA", "docB", "docC"}
     finally:
         tc.close()
+
+
+def test_encode_cache_entries_own_their_memory(monkeypatch, fake_student):
+    """Cached embedding rows must be copies: a row VIEW into the encode
+    batch keeps the whole [miss, D] result array alive (its .base) for
+    every entry until eviction — ~batch-size x memory amplification in a
+    long-running service."""
+    import numpy as np
+
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    settings = Settings.model_validate({"cache": {"enabled": True}})
+    tc = TestClient(app_module.create_app(settings=settings))
+    try:
+        r = tc.post("/encode", json_body={"texts": ["alpha", "beta", "gamma"]})
+        assert r.status == 200
+        emb_cache = tc.app.state.embedding_cache
+        assert emb_cache is not None and len(emb_cache) == 3
+        for _exp, row in emb_cache._store.values():
+            assert isinstance(row, np.ndarray)
+            assert row.base is None, "cache entry is a view into the batch"
+        # second identical request is served from the cache, same values
+        first = np.asarray(r.json()["embeddings"])
+        r2 = tc.post("/encode", json_body={"texts": ["alpha", "beta", "gamma"]})
+        np.testing.assert_allclose(
+            np.asarray(r2.json()["embeddings"]), first, rtol=1e-6
+        )
+        assert len(emb_cache) == 3
+    finally:
+        tc.close()
