@@ -42,6 +42,15 @@ def test_encode_variants_smoke(tmp_path):
         row = out[f"B4_L128_{variant}"]
         assert row["ms_per_batch"] >= 0.0
         assert "docs_per_s" in row
+    # The recovery queue eval's this block to recalibrate auto-dispatch
+    # for every downstream stage (scripts/tpu_recovery_queue.sh); MIN_L
+    # must always be present — either the measured crossover or the
+    # flash-never-wins pin — and every value must be env-safe (no spaces).
+    rec = out["recommended_env"]
+    assert "SSKD_FLASH_AUTO_MIN_L" in rec
+    assert out["B4_L128_winner"] in ("xla", "flash")
+    for v in rec.values():
+        assert isinstance(v, str) and v and " " not in v
 
 
 def test_bench_serving_cache_arm_smoke(tmp_path):
