@@ -568,6 +568,36 @@ def main() -> None:
             )
         )
         del rbf4
+        # host-resident refine (adr-012 refine_storage="host"): the device
+        # program ends at the candidate sweep (k=refine_m) and the bf16
+        # rescore runs in numpy — measure both terms so the record shows
+        # what keeping refine rows OUT of HBM costs at B=1
+        from sskd_tpu.ops.topk import refined_candidates_core as _cands
+
+        host_cand_ms_b1 = slope_ms(
+            lambda q, c, s: _cands(q, c, 40, row_scales=s),
+            c4,
+            scales4,
+            q=q0[:1],
+        )
+        import ml_dtypes
+
+        rows_host = np.asarray(corpus).astype(ml_dtypes.bfloat16)
+        _, cand_b1 = jax.jit(
+            lambda q, c, s: _cands(q, c, 40, row_scales=s)
+        )(q0[:1], c4, scales4)
+        cand_np = np.asarray(cand_b1)
+        q_np = np.asarray(q0[:1], dtype=np.float32)
+        reps = 50
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            g = rows_host[np.clip(cand_np, 0, rows - 1)].astype(np.float32)
+            sc = np.einsum("bd,bmd->bm", q_np, g, optimize=True)
+            sc = np.take_along_axis(
+                sc, np.argsort(-sc, axis=1)[:, :k], axis=1
+            )
+        host_rescore_ms = (time.perf_counter() - t0) / reps * 1e3
+        del rows_host
         int4_point = {
             "rows": rows,
             "dtype": "int4(packed)",
@@ -586,6 +616,13 @@ def main() -> None:
             "hbm_bytes_per_row": dim // 2 + 4,  # packed cols + f32 scale
             "roofline": sweep_roofline(rows, batch, int4_ms, 0.5, "int8"),
             "roofline_b1": sweep_roofline(rows, 1, int4_ms_b1, 0.5, "int8"),
+            # refine_storage="host": candidate sweep (device) + numpy
+            # rescore; total EXCLUDES the candidate-readback hop, which
+            # rides the same device->host transfer every search already
+            # pays (and is tunnel-dominated on this host anyway)
+            "host_refine_candidates_ms_b1": round(host_cand_ms_b1, 4),
+            "host_refine_rescore_ms_b1": round(host_rescore_ms, 4),
+            "host_refine_b1_ms": round(host_cand_ms_b1 + host_rescore_ms, 4),
         }
         del c4, scales4
 

@@ -414,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.refine_m is not None
                     else settings.index.refine_m
                 ),
+                refine_storage=settings.index.refine_storage,
             )
             builder.build_from_parquet(
                 student, args.data, batch_size=args.batch_size, max_docs=args.max_docs

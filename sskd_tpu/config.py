@@ -163,6 +163,12 @@ class IndexConfig(BaseModel):
     # their bf16 rows are rescored exactly (recall 0.9945 vs 0.972 plain
     # int8 at 1M rows, measured); 0 disables
     refine_m: int = Field(default=0, ge=0)
+    # where the bf16 refine rows live (adr-012): "device" rescoring runs
+    # inside the sweep's device program; "host" keeps the rows in host RAM
+    # (frees 2 bytes/elem of HBM so the int4 capacity win survives
+    # refinement) and rescoring runs in numpy on the returned candidates.
+    # Deployment choice, not an index property — applies at load time too.
+    refine_storage: Literal["device", "host"] = "device"
     validation_queries: int = Field(default=1000, ge=1)
     validation_recall_at_10: float = Field(default=0.97, ge=0.0, le=1.0)
 

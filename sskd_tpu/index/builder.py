@@ -62,6 +62,7 @@ class IndexBuilder:
         cluster_rows: int = 0,
         nprobe: int = 64,
         refine_m: int = 0,
+        refine_storage: str = "device",
     ):
         """``index_type``: "exact" (blocked full top-k, recall 1.0),
         "approx" (fused binned top-k — the TPU-native analog of the
@@ -81,6 +82,17 @@ class IndexBuilder:
         bytes/elem of HBM for the bf16 copy; measured recall@10 vs
         exact-f32 0.9945 at 1M rows (plain int8 sweep: 0.972). 0 disables.
 
+        ``refine_storage`` (adr-012): where the bf16 refine rows live.
+        ``"device"`` (default) keeps them in HBM and rescoring runs inside
+        the same device program as the sweep; ``"host"`` keeps them in host
+        RAM — the sweep returns refine_m candidate positions, whose rows
+        are gathered and rescored in numpy. Host storage frees the 2
+        bytes/elem of HBM (7.7 GB at 10M x 384) so the quantized capacity
+        win survives refinement, at the cost of one extra device->host
+        hop per search (a deployment choice, not an index property — it is
+        NOT persisted in the on-disk layout). Single-device only: sharded
+        serving keeps refine rows on-device with their shard.
+
         ``dtype="int4"`` stores rows packed two-values-per-byte
         (ops/quant.py halves layout): half the int8 sweep's HBM traffic —
         the bound in the B=1 serving regime — and double the capacity per
@@ -93,6 +105,10 @@ class IndexBuilder:
             raise IndexBuildError(f"unsupported index dtype {dtype!r}")
         if index_type not in ("exact", "approx", "clustered"):
             raise IndexBuildError(f"unsupported index_type {index_type!r}")
+        if refine_storage not in ("device", "host"):
+            raise IndexBuildError(
+                f"unsupported refine_storage {refine_storage!r}"
+            )
         if dtype == "int4" and index_type == "clustered":
             raise IndexBuildError(
                 "int4 storage is not supported with the clustered engine "
@@ -107,6 +123,7 @@ class IndexBuilder:
         self.cluster_rows = cluster_rows
         self.nprobe = nprobe
         self.refine_m = refine_m
+        self.refine_storage = refine_storage
         self.doc_ids: list[str] = []
         self.texts: list[str] | None = None
         self._vectors: np.ndarray | None = None  # f32 or int8
@@ -395,7 +412,9 @@ class IndexBuilder:
                 else None
             )
             self._device_refine = (
-                jnp.asarray(self._refine) if self._refine is not None else None
+                jnp.asarray(self._refine)
+                if self._refine is not None and self.refine_storage == "device"
+                else None
             )
 
     def search(self, query_emb: np.ndarray, k: int = 10):
@@ -452,6 +471,19 @@ class IndexBuilder:
                 )
             return np.asarray(vals), self.map_positions(np.asarray(idx))
         if self._refine is not None and self.index_type == "approx":
+            if self.refine_storage == "host":
+                from sskd_tpu.ops.topk import refined_candidates
+
+                m = max(k, min(self.refine_m, self.ntotal))
+                _, cand = refined_candidates(
+                    jnp.asarray(q),
+                    self._device_vectors,
+                    refine_m=m,
+                    row_scales=self._device_scales,
+                    valid_n=self.ntotal,
+                    block_rows=max(block, 1_048_576),
+                )
+                return self._host_rescore(q, np.asarray(cand), k)
             from sskd_tpu.ops.topk import refined_topk
 
             vals, idx = refined_topk(
@@ -476,6 +508,39 @@ class IndexBuilder:
             recall_target=self.recall_target,
         )
         return np.asarray(vals), np.asarray(idx)
+
+    def _host_rescore(
+        self, q: np.ndarray, cand: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact rescore of sweep candidates against the HOST-resident bf16
+        refine rows (``refine_storage="host"``): gather [B, m] candidate
+        rows, f32 dot against the (already normalized) queries, top-k.
+        Mirrors the device rescore's padding convention (-inf scores, -1
+        positions for invalid slots)."""
+        rows = self._refine
+        safe = np.clip(cand, 0, rows.shape[0] - 1)
+        gathered = rows[safe].astype(np.float32)  # [B, m, D]
+        # mirror the device rescore's arithmetic (bf16 inputs, f32
+        # accumulation): round q to bf16 before the f32 products so host
+        # and device storage modes rank identically on near-ties
+        q_bf = q.astype(rows.dtype).astype(np.float32)
+        sc = np.einsum("bd,bmd->bm", q_bf, gathered, optimize=True)
+        sc = np.where(cand >= 0, sc, -np.inf).astype(np.float32)
+        order = np.argsort(-sc, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(sc, order, axis=1)
+        idx = np.where(
+            np.isfinite(vals), np.take_along_axis(cand, order, axis=1), -1
+        ).astype(np.int32)
+        if vals.shape[1] < k:  # refine_m (clamped to ntotal) < k
+            pad = k - vals.shape[1]
+            vals = np.concatenate(
+                [vals, np.full((vals.shape[0], pad), -np.inf, np.float32)],
+                axis=1,
+            )
+            idx = np.concatenate(
+                [idx, np.full((idx.shape[0], pad), -1, np.int32)], axis=1
+            )
+        return vals, idx
 
     def map_positions(self, idx: np.ndarray) -> np.ndarray:
         """Map engine positions to ORIGINAL row positions (identity unless

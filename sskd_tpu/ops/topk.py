@@ -402,6 +402,73 @@ def cosine_topk_compose(
     )
 
 
+def refined_candidates_core(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    refine_m: int,
+    row_scales: jnp.ndarray | None = None,
+    valid_n: int | None = None,
+    block_rows: int = 1_048_576,
+    recall_target: float = 0.95,
+):
+    """Candidate stage of the two-stage refined search: the quantized sweep
+    alone, returning ``(vals [B, m], positions [B, m])`` with -1 padding.
+    Shared by :func:`refined_topk_core` (device bf16 rescore) and the
+    builder's HOST-resident refine path (``refine_storage="host"``,
+    adr-012), where the bf16 rows never occupy HBM and the rescore runs in
+    numpy on the gathered candidates. ``refine_m`` may exceed the row
+    count — the sweep pads with -1 positions like any k > N search.
+    Unjitted for composition."""
+    if corpus.dtype == jnp.uint8 and _pallas_exact_ok(corpus, refine_m):
+        # packed int4: the XLA approx sweep would materialize a full
+        # unpacked copy (cosine_topk_core's fallback), forfeiting the
+        # bandwidth win — the binned Pallas engine unpacks in VMEM and its
+        # EXACT candidates only improve recall@refine_m
+        return cosine_topk_compose(
+            queries,
+            corpus,
+            k=refine_m,
+            row_scales=row_scales,
+            valid_n=valid_n,
+            method="exact",
+        )
+    return cosine_topk_core(
+        queries,
+        corpus,
+        k=refine_m,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        method="approx",
+        recall_target=recall_target,
+        block_rows=block_rows,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("refine_m", "valid_n", "block_rows", "recall_target"),
+)
+def refined_candidates(
+    queries,
+    corpus,
+    refine_m,
+    row_scales=None,
+    valid_n=None,
+    block_rows=1_048_576,
+    recall_target=0.95,
+):
+    """Jitted top-level entry for :func:`refined_candidates_core`."""
+    return refined_candidates_core(
+        queries,
+        corpus,
+        refine_m,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        block_rows=block_rows,
+        recall_target=recall_target,
+    )
+
+
 def refined_topk_core(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -429,32 +496,16 @@ def refined_topk_core(
     ``refine_rows``: [N, D] bf16 (or f32) rows in the SAME storage order
     as ``corpus``. Unjitted for composition (see cosine_topk_compose).
     """
-    N = corpus.shape[0]
-    refine_m = max(k, min(refine_m, N))
-    if corpus.dtype == jnp.uint8 and _pallas_exact_ok(corpus, refine_m):
-        # packed int4: the XLA approx sweep would materialize a full
-        # unpacked copy (cosine_topk_core's fallback), forfeiting the
-        # bandwidth win — the binned Pallas engine unpacks in VMEM and its
-        # EXACT candidates only improve recall@refine_m
-        _, cand = cosine_topk_compose(
-            queries,
-            corpus,
-            k=refine_m,
-            row_scales=row_scales,
-            valid_n=valid_n,
-            method="exact",
-        )
-    else:
-        _, cand = cosine_topk_core(
-            queries,
-            corpus,
-            k=refine_m,
-            row_scales=row_scales,
-            valid_n=valid_n,
-            method="approx",
-            recall_target=recall_target,
-            block_rows=block_rows,
-        )
+    refine_m = max(k, min(refine_m, corpus.shape[0]))
+    _, cand = refined_candidates_core(
+        queries,
+        corpus,
+        refine_m,
+        row_scales=row_scales,
+        valid_n=valid_n,
+        block_rows=block_rows,
+        recall_target=recall_target,
+    )
     safe = jnp.clip(cand, 0, refine_rows.shape[0] - 1)
     rows = refine_rows[safe]  # [B, m, D] gather
     res = jnp.einsum(

@@ -139,6 +139,17 @@ class AppState:
             data_axis=settings.mesh.data_axis,
             index_axis=settings.mesh.index_axis,
         )
+        if (
+            self.index_builder.refine_storage == "host"
+            and self.index_builder._refine is not None
+        ):
+            # the sharded engine rescopes inside shard_map with the refine
+            # rows sharded next to their quantized rows (adr-012) — host
+            # refine storage is a single-device capacity lever
+            logger.warning(
+                "refine_storage='host' ignored under index_parallel>1: "
+                "sharded serving keeps refine rows on-device per shard"
+            )
         self.sharded_index = ShardedIndex.from_builder(
             self.index_builder, mesh, axis=settings.mesh.index_axis
         )
@@ -256,6 +267,10 @@ def create_app(
             # raise recall without a rebuild (guides/index-modes.md)
             if "nprobe" in settings.index.model_fields_set:
                 state.index_builder.nprobe = settings.index.nprobe
+            # refine_storage is likewise query-time (the rows are the same
+            # bytes either way); "host" keeps the bf16 refine rows out of
+            # HBM and rescoring runs in numpy (adr-012)
+            state.index_builder.refine_storage = settings.index.refine_storage
             state.maybe_shard_index(settings)
             state.make_fused()
             m.INDEX_SIZE.set(state.index_builder.ntotal)
@@ -649,6 +664,7 @@ def create_app(
             builder.load(index_dir)
         if "nprobe" in settings.index.model_fields_set:
             builder.nprobe = settings.index.nprobe  # query-time override
+        builder.refine_storage = settings.index.refine_storage
         state.index_builder = builder
         state.maybe_shard_index(settings)
         state.make_fused()

@@ -53,8 +53,13 @@ class FusedSearcher:
             # config and the REQUIRED int4 config) must keep their bf16
             # rescore inside the fused dispatch — without this branch the
             # fused path would silently serve the raw quantized sweep at
-            # the quantization-floor recall the config was built to beat
+            # the quantization-floor recall the config was built to beat.
+            # With HOST-resident refine rows (refine_storage="host",
+            # adr-012) the device program ends at the candidate sweep and
+            # the rescore runs in numpy after the dispatch returns.
             if self.builder._refine is not None:
+                if self.builder.refine_storage == "host":
+                    return "host_refined"
                 return "refined"
             return self.builder.index_type
         import os
@@ -109,6 +114,25 @@ class FusedSearcher:
                 )
 
             return topk_refined
+        if engine == "host_refined":
+            from sskd_tpu.ops.topk import refined_candidates_core
+
+            m = max(builder.refine_m, k)
+
+            def topk_host_candidates(q, corpus, scales=None):
+                # returns a TRIPLE: the query embeddings ride back to host
+                # for the numpy rescore (search_texts special-cases this)
+                vals, cand = refined_candidates_core(
+                    q,
+                    corpus,
+                    m,
+                    row_scales=scales,
+                    valid_n=builder.ntotal,
+                    block_rows=max(builder.block_rows, 1_048_576),
+                )
+                return q, vals, cand
+
+            return topk_host_candidates
         # cosine_topk_compose: exact-mode serving still dispatches to the
         # binned Pallas engine on TPU — the gate reads only static shape/
         # dtype/backend facts, so it composes inside the fused jit
@@ -178,12 +202,21 @@ class FusedSearcher:
         )
         engine = self._engine(padded_n)
         fn = self._fused_fn(batch["input_ids"].shape[1], k_eff, engine)
-        vals, idx = fn(
+        out = fn(
             self.student.params,
             batch["input_ids"],
             batch["attention_mask"],
             *self._index_args(engine),
         )
+        if engine == "host_refined":
+            q_emb, _, cand = out
+            vals, idx = self.builder._host_rescore(
+                np.asarray(q_emb).astype(np.float32),
+                np.asarray(cand),
+                k_eff,
+            )
+        else:
+            vals, idx = out
         idx = self._map_positions(np.asarray(idx))
         return np.asarray(vals)[:n, :k], idx[:n, :k]
 

@@ -102,6 +102,45 @@ def test_search_max_k_enforced(monkeypatch, fake_student, temp_index_dir):
         tc.close()
 
 
+def test_refine_storage_setting_reaches_loaded_index(
+    monkeypatch, tmp_path, fake_student, sample_documents
+):
+    """SEMANTIC_KD_INDEX__REFINE_STORAGE=host must apply to indexes loaded
+    at startup AND via /index/load: the bf16 refine rows stay host-side
+    (never staged to a device buffer) and searches still serve the
+    recall-margin results (adr-012)."""
+    import numpy as np
+
+    from sskd_tpu.index.builder import IndexBuilder
+
+    b = IndexBuilder(
+        embedding_dim=384, dtype="int8", index_type="approx", refine_m=8
+    )
+    emb = fake_student.encode_documents(sample_documents)
+    emb = np.asarray(emb) / np.linalg.norm(emb, axis=1, keepdims=True)
+    b.build_from_arrays(emb, [f"d{i}" for i in range(len(sample_documents))])
+    idx_dir = tmp_path / "idx_refined"
+    b.save(idx_dir)
+
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    settings = Settings.model_validate({"index": {"refine_storage": "host"}})
+    tc = TestClient(
+        app_module.create_app(settings=settings, preload_index_dir=str(idx_dir))
+    )
+    try:
+        loaded = tc.app.state.index_builder
+        assert loaded.refine_storage == "host"
+        assert tc.post("/search", json_body={"query": "q", "k": 3}).status == 200
+        assert loaded._refine is not None
+        assert loaded._device_refine is None
+        # the /index/load route applies the same deployment knob
+        r = tc.post("/index/load", json_body={"index_dir": str(idx_dir)})
+        assert r.status == 200
+        assert tc.app.state.index_builder.refine_storage == "host"
+    finally:
+        tc.close()
+
+
 def test_prometheus_path_and_disable(monkeypatch, fake_student):
     monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
     settings = Settings.model_validate(

@@ -107,3 +107,36 @@ def test_fused_keeps_refine_rescore(student, dtype):
         q_emb[0] / np.linalg.norm(q_emb[0])
     )
     np.testing.assert_allclose(fv[0], expect, atol=2e-2)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "int4"])
+def test_fused_host_refine_storage(student, dtype):
+    """refine_storage="host" (adr-012): the fused device program ends at
+    the candidate sweep, the rescore runs in numpy after the dispatch, and
+    the results match the on-device rescore path."""
+    emb = student.encode_documents(DOCS)
+    ids = [f"d{i}" for i in range(len(DOCS))]
+
+    def make(storage):
+        b = IndexBuilder(
+            embedding_dim=student.embedding_dim,
+            dtype=dtype,
+            index_type="approx",
+            refine_m=16,
+            refine_storage=storage,
+        )
+        return b.build_from_arrays(emb, ids)
+
+    host_b = make("host")
+    dev_b = make("device")
+    fused_host = FusedSearcher(student, host_b)
+    fused_dev = FusedSearcher(student, dev_b)
+    queries = ["find topic 3", "find topic 17", "words 9"]
+    hv, hi = fused_host.search_texts(queries, k=5)
+    dv, di = fused_dev.search_texts(queries, k=5)
+    assert any(key[2] == "host_refined" for key in fused_host._jit_cache), (
+        "fused dispatch did not route through the host-rescore engine"
+    )
+    assert host_b._device_refine is None  # bf16 rows never reach HBM
+    np.testing.assert_array_equal(hi, di)
+    np.testing.assert_allclose(hv, dv, atol=5e-3)

@@ -255,6 +255,80 @@ class TestIndexBuilder:
         assert idx.shape == (2, 10)
         assert (idx[:, 6:] == -1).all()
 
+    def test_host_refine_matches_device_refine(self):
+        """refine_storage="host" (adr-012): the numpy rescore over
+        host-resident bf16 rows returns the same top-k as the in-program
+        device rescore, and the refine rows never get staged to a device
+        buffer."""
+        rng = np.random.default_rng(31)
+        emb = _normed(rng, 1500, 64)
+        ids = [str(i) for i in range(1500)]
+        dev = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=32
+        ).build_from_arrays(emb, ids)
+        host = IndexBuilder(
+            embedding_dim=64,
+            dtype="int8",
+            index_type="approx",
+            refine_m=32,
+            refine_storage="host",
+        ).build_from_arrays(emb, ids)
+        q = _normed(rng, 40, 64)
+        vals_d, idx_d = dev.search(q, k=10)
+        vals_h, idx_h = host.search(q, k=10)
+        assert host._device_refine is None  # the HBM copy never exists
+        assert dev._device_refine is not None
+        np.testing.assert_array_equal(idx_h, idx_d)
+        np.testing.assert_allclose(vals_h, vals_d, atol=5e-3)
+
+    def test_host_refine_int4_recall_and_load(self, tmp_path):
+        """int4 + host refine: recall clears the gate (the capacity config
+        this mode exists for), and a loader constructed with
+        refine_storage="host" keeps the loaded rows host-side."""
+        rng = np.random.default_rng(32)
+        emb = _normed(rng, 1500, 64)
+        ids = [str(i) for i in range(1500)]
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int4", index_type="approx", refine_m=40
+        ).build_from_arrays(emb, ids)
+        out = tmp_path / "idx_int4_host"
+        b.save(out)
+        h = IndexBuilder(refine_storage="host").load(out)
+        assert h.refine_storage == "host"  # load() keeps the deployment knob
+        q = _normed(rng, 50, 64)
+        gt = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+        _, idx = h.search(q, k=10)
+        assert h._device_refine is None
+        recall = np.mean(
+            [len(set(idx[i]) & set(gt[i])) / 10 for i in range(len(q))]
+        )
+        assert recall >= 0.97
+        # rescored scores match f32 truth at bf16 resolution
+        vals, idx2 = h.search(q[:2], k=5)
+        true = q[:2] @ emb.T
+        for r in range(2):
+            for c in range(5):
+                assert abs(vals[r, c] - true[r, idx2[r, c]]) < 0.02
+
+    def test_host_refine_k_exceeds_ntotal_sentinels(self):
+        rng = np.random.default_rng(33)
+        emb = _normed(rng, 6, 64)
+        b = IndexBuilder(
+            embedding_dim=64,
+            dtype="int8",
+            index_type="approx",
+            refine_m=32,
+            refine_storage="host",
+        ).build_from_arrays(emb, [str(i) for i in range(6)])
+        vals, idx = b.search(_normed(rng, 2, 64), k=10)
+        assert idx.shape == (2, 10)
+        assert (idx[:, 6:] == -1).all()
+        assert not np.isfinite(vals[:, 6:]).any()
+
+    def test_refine_storage_validated(self):
+        with pytest.raises(IndexBuildError, match="refine_storage"):
+            IndexBuilder(refine_storage="hbm")
+
     def test_validation_gate(self, tmp_path):
         rng = np.random.default_rng(8)
         emb = _normed(rng, 300, 384)
