@@ -35,7 +35,15 @@ def main(argv=None) -> int:
     parser.add_argument("--levels", default="1,8,32",
                         help="comma-separated concurrency levels")
     parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--dtype", default="int8")
+    parser.add_argument("--dtype", default="int8",
+                        choices=["float32", "bfloat16", "int8", "int4"])
+    parser.add_argument("--refine-m", type=int, default=0,
+                        help="recall-margin rescore candidates (adr-012); "
+                             "REQUIRED for a gate-passing --dtype int4 run")
+    parser.add_argument("--refine-storage", default="device",
+                        choices=["device", "host"],
+                        help="where the bf16 refine rows live "
+                             "(host = out of HBM, numpy rescore)")
     parser.add_argument("--model", default=None,
                         help="student checkpoint (default: tiny random)")
     parser.add_argument("--arch", default="tiny", choices=["tiny", "e5"],
@@ -81,7 +89,11 @@ def main(argv=None) -> int:
     emb = rng.standard_normal((args.rows, student.embedding_dim)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     builder = IndexBuilder(
-        embedding_dim=student.embedding_dim, dtype=args.dtype, index_type="approx"
+        embedding_dim=student.embedding_dim,
+        dtype=args.dtype,
+        index_type="approx",
+        refine_m=args.refine_m,
+        refine_storage=args.refine_storage,
     )
     builder.build_from_arrays(emb, [f"d{i}" for i in range(args.rows)])
 
@@ -93,6 +105,9 @@ def main(argv=None) -> int:
             # engine numbers are cache-independent; --cache additionally
             # measures the hit path on a repeated query
             "cache": {"enabled": bool(args.cache)},
+            # /index/load constructs its own builder: the refine-storage
+            # deployment knob must ride settings to reach the served index
+            "index": {"refine_storage": args.refine_storage},
         }
     )
     app = app_module.create_app(settings=settings)
@@ -223,6 +238,8 @@ def main(argv=None) -> int:
         "detail": {
             "rows": args.rows,
             "dtype": args.dtype,
+            "refine_m": args.refine_m,
+            "refine_storage": args.refine_storage if args.refine_m else None,
             "student_arch": (args.model or args.arch),
             "requests_per_level": args.requests,
             "sequential_p50_ms": seq_p50,

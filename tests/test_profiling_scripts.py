@@ -70,6 +70,23 @@ def test_bench_serving_cache_arm_smoke(tmp_path):
     assert out["detail"]["all_correct"] is True
 
 
+def test_bench_serving_int4_host_refine_smoke(tmp_path):
+    """The serving ladder can drive the production int4 + recall-margin
+    config with HOST-resident refine rows (adr-012): the knob must reach
+    the /index/load-constructed builder via settings, and responses stay
+    correct (each query's top hit cross-checked against builder.search)."""
+    out = _run(
+        "bench_serving.py",
+        "--rows", "512", "--requests", "6", "--levels", "1,2",
+        "--arch", "tiny", "--platform", "cpu",
+        "--dtype", "int4", "--refine-m", "16", "--refine-storage", "host",
+        "--out", str(tmp_path / "serve_hr.json"),
+    )
+    assert out["detail"]["dtype"] == "int4"
+    assert out["detail"]["refine_storage"] == "host"
+    assert out["detail"]["all_correct"] is True
+
+
 def test_input_pipeline_smoke(tmp_path):
     """Both prefetch arms of the real train loop execute; the JSON carries
     the overlap ratio the TPU run will publish."""
