@@ -49,6 +49,14 @@ timeout 2400 python scripts/bench_serving.py --rows 1000000 --requests 200 --lev
   --arch e5 --out artifacts/bench/serving_tpu_1m_e5.json > /tmp/r5_serving.log 2>&1
 echo "serving ladder done $(date)"
 commit_art artifacts/bench/serving_tpu_1m_e5.json "Measured TPU serving ladder, 1M-row e5 (round 5)"
+# 4b. Production quantized serving arm: int4 + refine_m=40 with
+#     HOST-resident refine rows (adr-012 capacity config) — shorter
+#     ladder, records what the capacity mode costs end-to-end
+timeout 1800 python scripts/bench_serving.py --rows 1000000 --requests 120 --levels 1,8 \
+  --arch e5 --dtype int4 --refine-m 40 --refine-storage host \
+  --out artifacts/bench/serving_tpu_1m_int4_hostrefine.json > /tmp/r5_serving_int4.log 2>&1
+echo "int4 host-refine serving arm done $(date)"
+commit_art artifacts/bench/serving_tpu_1m_int4_hostrefine.json "Measured TPU serving arm: int4 + host-resident refine (round 5)"
 # 5. Input-pipeline overlap: real train loop, prefetch 0 vs 2
 timeout 1800 python scripts/profile_input_pipeline.py \
   --out artifacts/bench/input_pipeline_r5.json > /tmp/r5_ipipe.log 2>&1
