@@ -329,6 +329,34 @@ class TestIndexBuilder:
         with pytest.raises(IndexBuildError, match="refine_storage"):
             IndexBuilder(refine_storage="hbm")
 
+    @pytest.mark.parametrize("seed", [7, 19, 42])
+    def test_host_refine_fuzz_parity(self, seed):
+        """Fuzz: host and device refine storage return identical rankings
+        across random corpus sizes (incl. non-multiples of engine blocks),
+        dtypes, refine_m and k — the host rescore mirrors the device
+        arithmetic exactly, so any divergence is a bug, not noise."""
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(200, 2100))
+        dtype = rng.choice(["int8", "int4"])
+        refine_m = int(rng.choice([8, 24, 48]))
+        k = int(rng.choice([3, 10, 17]))
+        emb = _normed(rng, n, 64)
+        ids = [str(i) for i in range(n)]
+        kw = dict(
+            embedding_dim=64, dtype=dtype, index_type="approx",
+            refine_m=refine_m,
+        )
+        dev = IndexBuilder(**kw).build_from_arrays(emb, ids)
+        host = IndexBuilder(**kw, refine_storage="host").build_from_arrays(
+            emb, ids
+        )
+        q = _normed(rng, 9, 64)
+        vd, id_ = dev.search(q, k=k)
+        vh, ih = host.search(q, k=k)
+        np.testing.assert_array_equal(ih, id_)
+        valid = id_ >= 0
+        np.testing.assert_allclose(vh[valid], vd[valid], atol=5e-3)
+
     def test_validation_gate(self, tmp_path):
         rng = np.random.default_rng(8)
         emb = _normed(rng, 300, 384)
