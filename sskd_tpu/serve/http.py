@@ -129,6 +129,7 @@ class App:
         self.on_startup: list[Callable] = []
         self.on_shutdown: list[Callable] = []
         self._started = False
+        self._chain: Handler | None = None  # composed middleware pipeline
 
     def route(self, method: str, path: str):
         def deco(fn: Handler) -> Handler:
@@ -147,6 +148,7 @@ class App:
         """Outermost-added-last, matching Starlette/FastAPI semantics the
         reference relied on (reference: src/serve/app.py:169-205 order)."""
         self._middleware.append(mw)
+        self._chain = None
 
     def add_exception_handler(self, exc_type: type, handler: Callable) -> None:
         self._exception_handlers.append((exc_type, handler))
@@ -178,9 +180,15 @@ class App:
         return await handler(request)
 
     async def handle(self, request: Request) -> Response:
-        endpoint: Handler = self._dispatch
-        for mw in self._middleware:  # last added runs outermost
-            endpoint = _wrap(mw, endpoint)
+        endpoint = self._chain
+        if endpoint is None:
+            # compose once, not per request: the chain is a stack of
+            # closures, and rebuilding it on every call costs one closure
+            # allocation per middleware per request on the serving hot path
+            endpoint = self._dispatch
+            for mw in self._middleware:  # last added runs outermost
+                endpoint = _wrap(mw, endpoint)
+            self._chain = endpoint
         try:
             return await endpoint(request)
         except Exception as exc:  # noqa: BLE001 — boundary

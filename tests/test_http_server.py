@@ -193,3 +193,42 @@ def test_graceful_shutdown_drains(strict_server):
 
     with pytest.raises(OSError):
         socket.create_connection(("127.0.0.1", port), timeout=1)
+
+
+def test_middleware_chain_cached_and_invalidated():
+    """The composed middleware chain is built once (not per request) and a
+    middleware added after traffic still takes effect on the next request."""
+    app = App()
+
+    @app.get("/x")
+    async def x(request: Request) -> Response:
+        return Response({"ok": True})
+
+    order: list[str] = []
+
+    async def mw_a(request, nxt):
+        order.append("a")
+        return await nxt(request)
+
+    app.add_middleware(mw_a)
+    loop = asyncio.new_event_loop()
+    try:
+        r1 = loop.run_until_complete(app.handle(Request("GET", "/x")))
+        assert r1.status == 200 and order == ["a"]
+        chain_after_first = app._chain
+        assert chain_after_first is not None
+        loop.run_until_complete(app.handle(Request("GET", "/x")))
+        assert app._chain is chain_after_first  # reused, not rebuilt
+
+        async def mw_b(request, nxt):
+            order.append("b")
+            return await nxt(request)
+
+        app.add_middleware(mw_b)  # invalidates the cache
+        assert app._chain is None
+        order.clear()
+        loop.run_until_complete(app.handle(Request("GET", "/x")))
+        # last added runs outermost (Starlette semantics)
+        assert order == ["b", "a"]
+    finally:
+        loop.close()
