@@ -232,3 +232,51 @@ def test_middleware_chain_cached_and_invalidated():
         assert order == ["b", "a"]
     finally:
         loop.close()
+
+
+def test_parser_survives_garbage_fuzz(server_port):
+    """First-party parser hardening: seeded random garbage on the wire must
+    never crash the server or wedge it for subsequent well-formed requests.
+    Every malformed payload gets a 4xx or a clean close; a fresh valid
+    request afterwards still succeeds."""
+    import random
+    import socket
+
+    rng = random.Random(0)
+    ascii_junk = bytes(range(32, 127))
+    payloads = []
+    for _ in range(20):  # pure random bytes
+        payloads.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400))))
+    for _ in range(20):  # header-shaped junk: random lines + blank terminator
+        lines = [
+            bytes(rng.choice(ascii_junk) for _ in range(rng.randrange(0, 60)))
+            for _ in range(rng.randrange(1, 8))
+        ]
+        payloads.append(b"\r\n".join(lines) + b"\r\n\r\n")
+    payloads += [
+        b"GET\r\n\r\n",                                  # no target/version
+        b"GET /ping HTTP/1.1\r\ncontent-length: -5\r\n\r\n",
+        b"GET /ping HTTP/1.1\r\ncontent-length: zz\r\n\r\n",
+        b"POST /echo HTTP/1.1\r\ncontent-length: 99999999999\r\n\r\n",
+        b"\r\n\r\n",
+        b"\x00" * 64 + b"\r\n\r\n",
+    ]
+    for payload in payloads:
+        with socket.create_connection(("127.0.0.1", server_port), timeout=5) as s:
+            s.settimeout(5)
+            try:
+                s.sendall(payload)
+                s.shutdown(socket.SHUT_WR)
+                data = s.recv(4096)
+            except (ConnectionResetError, BrokenPipeError, TimeoutError):
+                continue  # clean reset is an acceptable rejection
+            if data:  # if it answered, it must be an HTTP 4xx/5xx
+                first = data.split(b"\r\n", 1)[0]
+                assert first.startswith(b"HTTP/1.1 4") or first.startswith(
+                    b"HTTP/1.1 5"
+                ), f"unexpected response {first!r} to {payload[:40]!r}"
+    # the server is still healthy after the storm
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=5)
+    conn.request("GET", "/ping")
+    assert conn.getresponse().status == 200
+    conn.close()
