@@ -123,7 +123,7 @@ class IndexBuilder:
         self.cluster_rows = cluster_rows
         self.nprobe = nprobe
         self.refine_m = refine_m
-        self.refine_storage = refine_storage
+        self._refine_storage = refine_storage
         self.doc_ids: list[str] = []
         self.texts: list[str] | None = None
         self._vectors: np.ndarray | None = None  # f32 or int8
@@ -143,6 +143,30 @@ class IndexBuilder:
     # ------------------------------------------------------------------
     # Introspection
     # ------------------------------------------------------------------
+
+    @property
+    def refine_storage(self) -> str:
+        return self._refine_storage
+
+    @refine_storage.setter
+    def refine_storage(self, value: str) -> None:
+        """Query-time knob (adr-012): flipping it re-syncs the bf16 refine
+        rows' device placement immediately — "host" drops the HBM copy
+        (the capacity win is the point), "device" restores it. Without the
+        re-sync, a flip after the first search would silently keep serving
+        the OLD placement: host mode with the rows still pinned in HBM, or
+        device mode rescoring against refine_rows=None."""
+        if value not in ("device", "host"):
+            raise IndexBuildError(f"unsupported refine_storage {value!r}")
+        self._refine_storage = value
+        if self._device_vectors is not None:  # placement already happened
+            import jax.numpy as jnp
+
+            self._device_refine = (
+                jnp.asarray(self._refine)
+                if self._refine is not None and value == "device"
+                else None
+            )
 
     @property
     def ntotal(self) -> int:

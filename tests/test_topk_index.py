@@ -281,6 +281,30 @@ class TestIndexBuilder:
         np.testing.assert_array_equal(idx_h, idx_d)
         np.testing.assert_allclose(vals_h, vals_d, atol=5e-3)
 
+    def test_refine_storage_flip_resyncs_placement(self):
+        """Flipping refine_storage on a LIVE builder (after the first
+        search placed device arrays) re-syncs the bf16 rows: device->host
+        drops the HBM copy, host->device restores it, and results match
+        across the flips."""
+        rng = np.random.default_rng(33)
+        emb = _normed(rng, 900, 64)
+        b = IndexBuilder(
+            embedding_dim=64, dtype="int8", index_type="approx", refine_m=24
+        ).build_from_arrays(emb, [str(i) for i in range(900)])
+        q = _normed(rng, 8, 64)
+        vals0, idx0 = b.search(q, k=5)  # placement happens here
+        assert b._device_refine is not None
+        b.refine_storage = "host"
+        assert b._device_refine is None  # HBM copy dropped immediately
+        vals1, idx1 = b.search(q, k=5)
+        np.testing.assert_array_equal(idx1, idx0)
+        b.refine_storage = "device"
+        assert b._device_refine is not None  # restored for the device path
+        vals2, idx2 = b.search(q, k=5)
+        np.testing.assert_array_equal(idx2, idx0)
+        with pytest.raises(IndexBuildError):
+            b.refine_storage = "hbm"
+
     def test_host_refine_int4_recall_and_load(self, tmp_path):
         """int4 + host refine: recall clears the gate (the capacity config
         this mode exists for), and a loader constructed with
