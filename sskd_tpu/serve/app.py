@@ -407,6 +407,8 @@ def create_app(
                     "/encode",
                     "/index/load",
                     "/metrics",
+                    "/docs",
+                    "/openapi.json",
                 ]
                 + (["/cache/flush"] if settings.cache.enabled else []),
             }
@@ -441,6 +443,33 @@ def create_app(
             return Response(
                 m.render(), media_type="text/plain; version=0.0.4; charset=utf-8"
             )
+
+    # -- API docs (reference: FastAPI auto-published /openapi.json + /docs,
+    #    src/serve/app.py:152-157; the middleware exclusion lists on both
+    #    sides already assume these paths exist) ----------------------------
+    from sskd_tpu.serve.openapi import build_openapi, render_docs_html
+
+    _openapi_spec = build_openapi(
+        __version__,
+        metrics_path=(
+            settings.monitoring.prometheus_path
+            if settings.monitoring.prometheus_enabled
+            else None
+        ),
+        cache_flush=settings.cache.enabled,
+        auth_enabled=settings.auth.enabled,
+    )
+
+    @app.get("/openapi.json")
+    async def openapi_json(request: Request) -> Response:
+        return Response(_openapi_spec)
+
+    @app.get("/docs")
+    async def docs_page(request: Request) -> Response:
+        return Response(
+            render_docs_html(_openapi_spec),
+            media_type="text/html; charset=utf-8",
+        )
 
     @app.post("/search")
     async def search(request: Request) -> Response:

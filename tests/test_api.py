@@ -372,3 +372,96 @@ def test_encode_cache_entries_own_their_memory(monkeypatch, fake_student):
         assert len(emb_cache) == 3
     finally:
         tc.close()
+
+
+class TestOpenAPI:
+    """The reference's FastAPI published /openapi.json + /docs
+    (reference: src/serve/app.py:152-157); this stack generates both from
+    the pydantic schemas."""
+
+    def test_openapi_spec_shape(self, client):
+        r = client.get("/openapi.json")
+        assert r.status == 200
+        spec = r.json()
+        assert spec["openapi"].startswith("3.1")
+        assert spec["info"]["title"] == "Semantic Search API"
+        schemas = spec["components"]["schemas"]
+        for name in (
+            "SearchRequest",
+            "SearchResponse",
+            "EncodeRequest",
+            "EncodeResponse",
+            "HealthResponse",
+            "ErrorResponse",
+        ):
+            assert name in schemas, name
+        # request-body schema refs resolve
+        ref = spec["paths"]["/search"]["post"]["requestBody"]["content"][
+            "application/json"
+        ]["schema"]["$ref"]
+        assert ref == "#/components/schemas/SearchRequest"
+        # pydantic constraints survive into the contract
+        k = schemas["SearchRequest"]["properties"]["k"]
+        assert k["maximum"] == 100 and k["minimum"] == 1
+
+    def test_spec_matches_live_route_table(self, client):
+        """Every path in the published contract is actually routable, and
+        every registered route is documented — the spec can't drift from
+        create_app silently."""
+        spec = client.get("/openapi.json").json()
+        routes = {
+            (meth.upper(), path) for (meth, path) in client.app._routes
+        }
+        for path, ops in spec["paths"].items():
+            for method in ops:
+                assert (method.upper(), path) in routes, (method, path)
+        undocumented = {
+            p for (_, p) in routes
+            if p not in spec["paths"] and p not in ("/docs", "/openapi.json")
+        }
+        assert not undocumented, undocumented
+
+    def test_docs_page_renders(self, client):
+        r = client.get("/docs")
+        assert r.status == 200
+        assert "text/html" in r.media_type
+        body = r.body.decode()
+        assert "/openapi.json" in body and "/search" in body
+        assert "SearchRequest" in body
+
+    def test_conditional_routes_tracked(self, monkeypatch, fake_student):
+        monkeypatch.setattr(
+            app_module, "StudentModel", lambda *a, **k: fake_student
+        )
+        monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: None)
+        settings = Settings.model_validate(
+            {"cache": {"enabled": True}, "monitoring": {"prometheus_enabled": False}}
+        )
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            spec = tc.get("/openapi.json").json()
+            assert "/cache/flush" in spec["paths"]
+            assert "/metrics" not in spec["paths"]
+        finally:
+            tc.close()
+
+    def test_security_scheme_when_auth_enabled(self, monkeypatch, fake_student):
+        monkeypatch.setattr(
+            app_module, "StudentModel", lambda *a, **k: fake_student
+        )
+        monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: None)
+        from sskd_tpu.serve.middleware import APIKeyAuth
+
+        settings = Settings.model_validate(
+            {"auth": {"enabled": True, "api_key_hashes": [APIKeyAuth.hash_key("x")]}}
+        )
+        tc = TestClient(app_module.create_app(settings=settings))
+        try:
+            # docs are reachable WITHOUT a key (middleware exclusion)
+            spec = tc.get("/openapi.json").json()
+            assert "ApiKeyAuth" in spec["components"]["securitySchemes"]
+            assert tc.get("/docs").status == 200
+            # but the API itself still requires one
+            assert tc.post("/encode", json_body={"texts": ["a"]}).status == 401
+        finally:
+            tc.close()
