@@ -402,11 +402,37 @@ class Server:
             await asyncio.sleep(0.02)
         await self.app.shutdown()
 
+    def _install_signal_handlers(self, loop: asyncio.AbstractEventLoop) -> None:
+        """SIGTERM/SIGINT -> graceful drain. Kubernetes terminates pods
+        with SIGTERM (infra/tpu_training_job.yaml, Dockerfile CMD runs
+        this server as pid 1); the reference delegated this to uvicorn's
+        own handlers. Installed only when running on the main thread —
+        test harnesses that drive serve() from a worker thread manage
+        shutdown() themselves."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def _drain(signame: str) -> None:
+            if self._closing:
+                return  # second signal while draining: ignore
+            logger.info(f"{signame} received — draining connections")
+            asyncio.ensure_future(self.shutdown())
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, _drain, sig.name)
+            except (NotImplementedError, RuntimeError):  # pragma: no cover
+                pass  # platform without loop signal support
+
     async def serve(self) -> None:
         await self.app.startup()
         self._server = await asyncio.start_server(
             self._handle_conn, self.host, self.port
         )
+        self._install_signal_handlers(asyncio.get_running_loop())
         logger.info(f"serving on http://{self.host}:{self.port}")
         async with self._server:
             try:

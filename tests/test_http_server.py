@@ -280,3 +280,58 @@ def test_parser_survives_garbage_fuzz(server_port):
     conn.request("GET", "/ping")
     assert conn.getresponse().status == 200
     conn.close()
+
+
+def test_sigterm_graceful_drain():
+    """Kubernetes stops pods with SIGTERM: the server must drain and exit
+    cleanly (uvicorn handled this for the reference). Run a bare App+Server
+    as a real subprocess, confirm it serves, SIGTERM it, assert a clean
+    exit and a closed port."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+
+    code = (
+        "import asyncio\n"
+        "from sskd_tpu.serve.http import App, Request, Response, Server\n"
+        "app = App()\n"
+        "@app.get('/ping')\n"
+        "async def ping(request):\n"
+        "    return Response({'pong': True})\n"
+        "Server(app, host='127.0.0.1', port=18973).run()\n"
+        "print('CLEAN-EXIT', flush=True)\n"
+    )
+    env = dict(os.environ, SSKD_LOG_SYNC="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                with socket.create_connection(("127.0.0.1", 18973), timeout=1):
+                    break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise AssertionError("server never came up")
+        conn = http.client.HTTPConnection("127.0.0.1", 18973, timeout=5)
+        conn.request("GET", "/ping")
+        assert conn.getresponse().status == 200
+        conn.close()
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=20)
+        assert proc.returncode == 0, out
+        assert "CLEAN-EXIT" in out, out
+        assert "draining connections" in out, out
+        with pytest.raises(OSError):
+            socket.create_connection(("127.0.0.1", 18973), timeout=1)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
