@@ -217,6 +217,14 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="DIR",
         help="enable hybrid BM25+semantic fusion with this BM25 index dir",
     )
+    p.add_argument(
+        "--workers",
+        type=int,
+        default=None,
+        help="CPU-serving worker processes sharing the port via "
+        "SO_REUSEPORT (default service.workers; ignored with a warning "
+        "on TPU — one process owns the chip)",
+    )
     _add_platform_arg(p)
 
     p = sub.add_parser("export", help="quantized index-matrix / model export")
@@ -523,8 +531,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "serve":
+        import os
+
         from sskd_tpu.serve.app import create_app
         from sskd_tpu.serve.http import Server
+        from sskd_tpu.serve.supervisor import is_worker, reexec_argv, supervise
+        from sskd_tpu.utils.logging import get_logger
+
+        n_workers = (
+            args.workers if args.workers is not None else settings.service.workers
+        )
+        if n_workers > 1 and not is_worker():
+            plat = getattr(args, "platform", None) or os.environ.get(
+                "SSKD_PLATFORM"
+            )
+            if plat != "cpu":
+                # one process owns a TPU chip: local forks would fight over
+                # it — TPU serving scales with replicas/index shards
+                get_logger("cli").warning(
+                    f"service.workers={n_workers} ignored on non-cpu "
+                    "platform; serving single-process (scale TPU serving "
+                    "with replicas/shards)"
+                )
+            else:
+                return supervise(reexec_argv(), n_workers)
 
         if args.shards or args.hybrid_bm25:
             settings = settings.model_copy(deep=True)
@@ -546,6 +576,7 @@ def main(argv: list[str] | None = None) -> int:
             read_timeout=settings.service.read_timeout_s,
             idle_timeout=settings.service.idle_timeout_s,
             max_connections=settings.service.max_connections,
+            reuse_port=is_worker(),
         ).run()
         return 0
 

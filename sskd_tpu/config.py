@@ -242,6 +242,11 @@ class ServiceConfig(BaseModel):
     read_timeout_s: float = Field(default=30.0, gt=0.0)
     idle_timeout_s: float = Field(default=75.0, gt=0.0)
     max_connections: int = Field(default=1024, ge=1)
+    # CPU-serving worker processes sharing the port via SO_REUSEPORT (the
+    # reference's service.workers / uvicorn --workers, src/config.py:213).
+    # TPU serving ignores >1 with a warning: one process owns the chip —
+    # scale TPU serving with replicas/shards, not local forks.
+    workers: int = Field(default=1, ge=1, le=32)
 
 
 class HybridConfig(BaseModel):

@@ -273,6 +273,7 @@ class Server:
         read_timeout: float = 30.0,
         idle_timeout: float = 75.0,
         max_connections: int = 1024,
+        reuse_port: bool = False,
     ):
         self.app = app
         self.host = host
@@ -280,6 +281,10 @@ class Server:
         self.read_timeout = read_timeout
         self.idle_timeout = idle_timeout
         self.max_connections = max_connections
+        # SO_REUSEPORT: N worker processes bind the same port and the
+        # kernel load-balances accepts across them (service.workers > 1,
+        # CPU serving — the uvicorn --workers analog)
+        self.reuse_port = reuse_port
         self._server: asyncio.AbstractServer | None = None
         self._active = 0
         self._closing = False
@@ -430,7 +435,8 @@ class Server:
     async def serve(self) -> None:
         await self.app.startup()
         self._server = await asyncio.start_server(
-            self._handle_conn, self.host, self.port
+            self._handle_conn, self.host, self.port,
+            reuse_port=self.reuse_port or None,
         )
         self._install_signal_handlers(asyncio.get_running_loop())
         logger.info(f"serving on http://{self.host}:{self.port}")
