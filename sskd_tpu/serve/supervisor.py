@@ -60,7 +60,7 @@ def supervise(
         logger.info(
             f"{signal.Signals(signum).name} received — stopping workers"
         )
-        for p in procs.values():
+        for p in list(procs.values()):  # copy: _spawn mutates procs
             if p.poll() is None:
                 p.send_signal(signal.SIGTERM)
 
@@ -88,6 +88,9 @@ def supervise(
                         f"restart {restarts[slot]}/{max_restarts}"
                     )
                     time.sleep(restart_delay_s * restarts[slot])
+                    if shutting_down:  # signal arrived during the backoff
+                        done.add(slot)
+                        continue
                     _spawn(slot)
                 else:
                     logger.error(
@@ -95,6 +98,14 @@ def supervise(
                     )
                     failed = True
                     done.add(slot)
+            if shutting_down:
+                # close the spawn/shutdown race: a worker spawned a tick
+                # before the signal never saw _forward's TERM — re-signal
+                # live workers each sweep (a draining server ignores the
+                # repeat)
+                for p in list(procs.values()):
+                    if p.poll() is None:
+                        p.send_signal(signal.SIGTERM)
             time.sleep(0.1)
     finally:
         signal.signal(signal.SIGTERM, old_term)
