@@ -186,3 +186,48 @@ def test_batch_matrix_forced_thread_pool(tok):
         np.testing.assert_array_equal(
             got_ids[i, : got_cnt[i]], ref_ids[i, : ref_cnt[i]], err_msg=str(i)
         )
+
+
+def test_random_ascii_fuzz_parity(tok):
+    """Seeded fuzz over random printable-ASCII strings: the C core and the
+    pure-python path must agree on ids AND offsets for every input, and
+    the C core must never crash on adversarial whitespace/punctuation
+    soup or pathological word lengths."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    cases = []
+    for _ in range(150):
+        n = rng.randrange(0, 120)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    # pathological word lengths around max_input_chars_per_word
+    for n in (1, 99, 100, 101, 250):
+        cases.append("a" * n)
+        cases.append(("b" * n + " ") * 3)
+    # punctuation-only storms and whitespace runs
+    cases += ["!!!???...", "-" * 80, " \t  \t ", ".a.b.c." * 20]
+    for text in cases:
+        native = tok.tokenize_with_offsets(text)
+        python = _python_path(tok, text)
+        assert native == python, repr(text[:60])
+
+
+def test_random_unicode_fuzz_no_crash(tok):
+    """Random multilingual/emoji soup: non-ASCII routes to the python
+    fallback — parity holds and nothing crashes at the ctypes boundary."""
+    import random
+
+    rng = random.Random(43)
+    pools = [
+        "héllo wörld café naïve",
+        "日本語のテキスト処理",
+        "русский текст здесь",
+        "🙂🚀🔥 emoji 🎉",
+        "mixed ascii and 中文 words",
+    ]
+    for _ in range(40):
+        parts = [rng.choice(pools) for _ in range(rng.randrange(1, 4))]
+        text = " ".join(parts)
+        assert tok.tokenize_with_offsets(text) == _python_path(tok, text)
