@@ -44,6 +44,19 @@ def main(argv=None) -> int:
                         choices=["device", "host"],
                         help="where the bf16 refine rows live "
                              "(host = out of HBM, numpy rescore)")
+    parser.add_argument("--index-type", default="approx",
+                        choices=["approx", "exact", "clustered"],
+                        help="serving engine; clustered (cell-probe) is "
+                             "the CPU B=1 recommendation — it sweeps only "
+                             "nprobe cells instead of the whole corpus")
+    parser.add_argument("--cluster-rows", type=int, default=256)
+    parser.add_argument("--nprobe", type=int, default=64)
+    parser.add_argument("--data-centers", type=int, default=0,
+                        help=">0 draws corpus rows from this many gaussian "
+                             "centers (noise --data-noise) so the clustered "
+                             "engine is measured on data it can actually "
+                             "cluster; 0 = uniform random")
+    parser.add_argument("--data-noise", type=float, default=0.05)
     parser.add_argument("--model", default=None,
                         help="student checkpoint (default: tiny random)")
     parser.add_argument("--arch", default="tiny", choices=["tiny", "e5"],
@@ -86,16 +99,41 @@ def main(argv=None) -> int:
     else:
         student = StudentModel("bench-student", config=BertConfig.tiny())
     rng = np.random.default_rng(0)
-    emb = rng.standard_normal((args.rows, student.embedding_dim)).astype(np.float32)
+    dim = student.embedding_dim
+    if args.data_centers > 0:
+        centers = rng.standard_normal((args.data_centers, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        emb = centers[rng.integers(0, args.data_centers, args.rows)]
+        emb = emb + args.data_noise * rng.standard_normal(
+            (args.rows, dim)
+        ).astype(np.float32)
+    else:
+        emb = rng.standard_normal((args.rows, dim)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     builder = IndexBuilder(
-        embedding_dim=student.embedding_dim,
+        embedding_dim=dim,
         dtype=args.dtype,
-        index_type="approx",
+        index_type=args.index_type,
+        cluster_rows=args.cluster_rows,
+        nprobe=args.nprobe,
         refine_m=args.refine_m,
         refine_storage=args.refine_storage,
     )
     builder.build_from_arrays(emb, [f"d{i}" for i in range(args.rows)])
+    # recall of the SERVED engine config vs f32 brute force on 50 held-out
+    # embedding-space probes — recorded so a fast-but-lossy config can't
+    # masquerade as a win in the committed artifact
+    probes = emb[rng.integers(0, args.rows, 50)] + 0.01 * rng.standard_normal(
+        (50, dim)
+    ).astype(np.float32)
+    probes /= np.linalg.norm(probes, axis=1, keepdims=True)
+    gt = np.argsort(-(probes @ emb.T), axis=1)[:, :10]
+    _, got = builder.search(probes, k=10)
+    engine_recall = float(
+        np.mean(
+            [len(set(got[i].tolist()) & set(gt[i].tolist())) / 10 for i in range(50)]
+        )
+    )
 
     # --- boot the real service ---------------------------------------------
     settings = Settings.model_validate(
@@ -238,6 +276,10 @@ def main(argv=None) -> int:
         "detail": {
             "rows": args.rows,
             "dtype": args.dtype,
+            "index_type": args.index_type,
+            "nprobe": args.nprobe if args.index_type == "clustered" else None,
+            "data_centers": args.data_centers or None,
+            "engine_recall_at_10": engine_recall,
             "refine_m": args.refine_m,
             "refine_storage": args.refine_storage if args.refine_m else None,
             "student_arch": (args.model or args.arch),

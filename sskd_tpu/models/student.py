@@ -24,6 +24,7 @@ Checkpoint layout (``save()``/``load``):
 
 from __future__ import annotations
 
+import functools
 import json
 from functools import partial
 from pathlib import Path
@@ -38,11 +39,30 @@ from sskd_tpu.utils.logging import get_logger
 
 logger = get_logger("models.student")
 
-_BUCKETS = (16, 32, 64, 128, 256, 512)
+# Pad ladder for batch and sequence dims: every jitted program sees one of
+# these static shapes, bounding compile count. On an accelerator the ladder
+# starts at 16 — MXU-padding a single query to 16 rows is ~free while each
+# extra bucket costs a (tunnel-priced) compile. On the CPU backend padding
+# is pure linear waste — a B=1 /search paid a 16x encode AND a 16-query
+# sweep (measured: fused B=1 8.2 ms -> ~3 ms with host buckets) — so the
+# host ladder adds small buckets; CPU compiles are cheap.
+_BUCKETS_DEVICE = (16, 32, 64, 128, 256, 512)
+_BUCKETS_HOST = (1, 2, 4, 8) + _BUCKETS_DEVICE
+
+
+@functools.lru_cache(maxsize=1)
+def _buckets() -> tuple[int, ...]:
+    import jax
+
+    try:
+        host = jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover — backend init failure
+        host = False
+    return _BUCKETS_HOST if host else _BUCKETS_DEVICE
 
 
 def bucket_length(n: int, max_len: int) -> int:
-    for b in _BUCKETS:
+    for b in _buckets():
         if n <= b and b <= max_len:
             return b
     return max_len

@@ -221,10 +221,12 @@ class FusedSearcher:
         return np.asarray(vals)[:n, :k], idx[:n, :k]
 
     def warmup(self, max_batch: int = 64, k: int = 10) -> None:
-        bucket = 16
-        while bucket <= max_batch:
-            self.search_texts(["warmup"] * min(bucket, max_batch), k)
-            bucket *= 2
+        from sskd_tpu.models.student import _buckets
+
+        for bucket in _buckets():  # backend-aware ladder (host adds 1-8)
+            if bucket > max_batch:
+                break
+            self.search_texts(["warmup"] * bucket, k)
         self.search_texts(["warmup"], k)
 
 
