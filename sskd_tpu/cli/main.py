@@ -538,6 +538,11 @@ def main(argv: list[str] | None = None) -> int:
         from sskd_tpu.serve.supervisor import is_worker, reexec_argv, supervise
         from sskd_tpu.utils.logging import get_logger
 
+        if settings.service.log_level != "info":
+            # service.log_level (reference: src/config.py:214) — rebuild the
+            # sink at the configured threshold
+            setup_logging(level=settings.service.log_level, force=True)
+
         n_workers = (
             args.workers if args.workers is not None else settings.service.workers
         )

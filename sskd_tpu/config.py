@@ -224,6 +224,10 @@ class MonitoringConfig(BaseModel):
     opentelemetry_enabled: bool = False
     opentelemetry_endpoint: str = ""
     jax_profiler_port: int = Field(default=0, ge=0, le=65535)
+    # reference: src/config.py:203-204 — raw query text in request logs is
+    # opt-in (the default line carries sha256(query)[:12] only)
+    log_queries: bool = False
+    log_latencies: bool = True
 
 
 class ServiceConfig(BaseModel):
@@ -247,6 +251,11 @@ class ServiceConfig(BaseModel):
     # TPU serving ignores >1 with a warning: one process owns the chip —
     # scale TPU serving with replicas/shards, not local forks.
     workers: int = Field(default=1, ge=1, le=32)
+    # service log threshold (reference: src/config.py:214, fed to uvicorn;
+    # here fed to setup_logging by the serve entry point). The reference's
+    # `reload` (uvicorn dev auto-reload) is intentionally absent — there is
+    # no module-reload machinery in the first-party server.
+    log_level: Literal["debug", "info", "warning", "error", "critical"] = "info"
 
 
 class HybridConfig(BaseModel):

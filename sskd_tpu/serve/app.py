@@ -208,7 +208,12 @@ def create_app(
             )
         )
     app.add_middleware(security_headers_middleware())
-    app.add_middleware(request_logging_middleware())
+    app.add_middleware(
+        request_logging_middleware(
+            log_queries=settings.monitoring.log_queries,
+            log_latencies=settings.monitoring.log_latencies,
+        )
+    )
     if settings.rate_limit.enabled:
         limiter = RateLimiter(
             settings.rate_limit.requests_per_minute, settings.rate_limit.burst

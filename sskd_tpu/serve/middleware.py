@@ -215,17 +215,35 @@ def hash_query(text: str) -> str:
     return hashlib.sha256(text.encode()).hexdigest()[:12]
 
 
-def request_logging_middleware():
+def request_logging_middleware(
+    log_queries: bool = False, log_latencies: bool = True
+):
+    """``log_queries``/``log_latencies`` mirror monitoring.log_queries /
+    monitoring.log_latencies (reference: src/config.py:203-204). Query
+    text stays OUT of logs unless explicitly opted in — the default line
+    carries only method/path/client/status (+ handlers log
+    ``sha256(query)[:12]``)."""
+
     async def mw(request: Request, nxt):
         start = time.perf_counter()
         response = await nxt(request)
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         status = response.status
         level = "error" if status >= 500 else "warning" if status >= 400 else "info"
-        getattr(logger, level)(
+        line = (
             f"{request.method} {request.path} client={request.client} "
-            f"status={status} latency_ms={elapsed_ms:.1f}"
+            f"status={status}"
         )
+        if log_latencies:
+            line += f" latency_ms={elapsed_ms:.1f}"
+        if log_queries and request.method == "POST":
+            try:
+                body = request.json()
+                if isinstance(body, dict) and "query" in body:
+                    line += f" query={body['query']!r}"
+            except Exception:  # noqa: BLE001 — malformed body already 4xx'd
+                pass
+        getattr(logger, level)(line)
         from sskd_tpu.serve.metrics import REQUEST_DURATION, REQUESTS_TOTAL
 
         REQUESTS_TOTAL.labels(

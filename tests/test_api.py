@@ -465,3 +465,60 @@ class TestOpenAPI:
             assert tc.post("/encode", json_body={"texts": ["a"]}).status == 401
         finally:
             tc.close()
+
+
+class TestRequestLogKnobs:
+    """monitoring.log_queries / log_latencies (reference config fields) —
+    raw query text is opt-in, latency field is opt-out."""
+
+    def _run(self, monkeypatch, **kw):
+        import asyncio
+
+        from sskd_tpu.serve import middleware as mw_mod
+        from sskd_tpu.serve.http import Request, Response
+
+        lines = []
+
+        class Rec:
+            def __getattr__(self, level):
+                return lambda msg: lines.append((level, msg))
+
+        monkeypatch.setattr(mw_mod, "logger", Rec())
+        mw = mw_mod.request_logging_middleware(**kw)
+
+        async def handler(request):
+            return Response({"ok": True})
+
+        req = Request(
+            "POST",
+            "/search",
+            body=b'{"query": "the secret text", "k": 3}',
+            headers={"content-type": "application/json"},
+        )
+        asyncio.new_event_loop().run_until_complete(mw(req, handler))
+        return lines[-1][1]
+
+    def test_query_text_absent_by_default(self, monkeypatch):
+        line = self._run(monkeypatch)
+        assert "secret text" not in line and "latency_ms=" in line
+
+    def test_log_queries_opt_in(self, monkeypatch):
+        line = self._run(monkeypatch, log_queries=True)
+        assert "query='the secret text'" in line
+
+    def test_log_latencies_opt_out(self, monkeypatch):
+        line = self._run(monkeypatch, log_latencies=False)
+        assert "latency_ms=" not in line
+
+    def test_settings_reach_middleware(self, monkeypatch, fake_student):
+        monkeypatch.setattr(
+            app_module, "StudentModel", lambda *a, **k: fake_student
+        )
+        monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: None)
+        settings = Settings.model_validate(
+            {"monitoring": {"log_queries": True, "log_latencies": False}}
+        )
+        assert settings.monitoring.log_queries is True
+        assert settings.service.log_level == "info"
+        tc = TestClient(app_module.create_app(settings=settings))
+        tc.close()
