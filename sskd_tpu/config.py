@@ -133,6 +133,11 @@ class MiningConfig(BaseModel):
     ance_top_k: int = Field(default=5, ge=1)
     ance_margin: float = Field(default=0.1, ge=0.0)
     ance_refresh_every_n_steps: int = Field(default=500, ge=1)
+    # master switch + warmup gate for the in-training refresh — the
+    # reference declared both but never consumed them
+    # (reference: src/config.py ance_enabled/ance_warmup_steps)
+    ance_enabled: bool = True
+    ance_warmup_steps: int = Field(default=0, ge=0)
     denoise_text_overlap_threshold: float = Field(default=0.9, ge=0.0, le=1.0)
     bm25_k1: float = Field(default=1.5, gt=0.0)
     bm25_b: float = Field(default=0.75, ge=0.0, le=1.0)
@@ -198,6 +203,9 @@ class CORSConfig(BaseModel):
     allow_origins: list[str] = Field(default_factory=lambda: ["*"])
     allow_methods: list[str] = Field(default_factory=lambda: ["GET", "POST"])
     allow_headers: list[str] = Field(default_factory=lambda: ["*"])
+    # Access-Control-Allow-Credentials; a credentialed response echoes the
+    # allowed origin instead of "*" (CORS spec forbids the wildcard there)
+    allow_credentials: bool = False
 
 
 class RateLimitConfig(BaseModel):
@@ -213,7 +221,21 @@ class AuthConfig(BaseModel):
 
     enabled: bool = False
     api_key_hashes: list[str] = Field(default_factory=list)
+    # drop-in migration path for the reference's PLAINTEXT auth.api_keys
+    # (reference: src/config.py:181): accepted, hashed immediately below,
+    # and flagged by the production audit — hashes-only is the native mode
+    api_keys: list[str] = Field(default_factory=list)
     salt: str = ""
+
+    @model_validator(mode="after")
+    def _hash_plaintext_keys(self) -> "AuthConfig":
+        if self.api_keys:
+            from sskd_tpu.serve.middleware import APIKeyAuth
+
+            self.api_key_hashes = list(self.api_key_hashes) + [
+                APIKeyAuth.hash_key(k, salt=self.salt) for k in self.api_keys
+            ]
+        return self
 
 
 class MonitoringConfig(BaseModel):
@@ -375,6 +397,11 @@ class Settings(BaseModel):
             problems.append("cors.allow_origins contains wildcard")
         if not self.auth.enabled:
             problems.append("auth.enabled is False")
+        if self.auth.api_keys:
+            problems.append(
+                "auth.api_keys holds PLAINTEXT keys (migration aid) — move "
+                "the hashes to auth.api_key_hashes and drop the plaintext"
+            )
         if not self.rate_limit.enabled:
             problems.append("rate_limit.enabled is False")
         if not self.monitoring.prometheus_enabled:

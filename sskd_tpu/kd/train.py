@@ -366,13 +366,18 @@ class KDTrainer:
         dropout_rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         epochs_without_improvement = 0
         refresh_every = self.settings.mining.ance_refresh_every_n_steps
+        ance_warmup = self.settings.mining.ance_warmup_steps
         last_refresh_step = global_step
         for epoch in range(start_epoch, epochs):
             # in-training ANCE refresh: re-mine negatives with the current
-            # student once enough steps elapsed (epoch-granular check)
+            # student once enough steps elapsed (epoch-granular check);
+            # mining.ance_enabled / ance_warmup_steps gate it — knobs the
+            # reference declared but never consumed
             if (
                 negative_refresher is not None
+                and self.settings.mining.ance_enabled
                 and epoch > start_epoch
+                and global_step >= ance_warmup
                 and global_step - last_refresh_step >= refresh_every
             ):
                 self.student.params = params

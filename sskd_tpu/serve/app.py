@@ -205,6 +205,7 @@ def create_app(
                 settings.cors.allow_origins,
                 settings.cors.allow_methods,
                 settings.cors.allow_headers,
+                allow_credentials=settings.cors.allow_credentials,
             )
         )
     app.add_middleware(security_headers_middleware())

@@ -191,6 +191,13 @@ class APIKeyAuth:
         async def mw(request: Request, nxt):
             if request.path in self.EXCLUDED_PATHS:
                 return await nxt(request)
+            if request.method == "OPTIONS":
+                # CORS preflights are anonymous BY SPEC (browsers attach no
+                # credentials/custom headers) — 401-ing them here starves
+                # the inner CORS middleware and breaks every credentialed
+                # cross-origin client; the preflight response carries no
+                # data (without CORS it's a bare 405)
+                return await nxt(request)
             key = request.headers.get("x-api-key")
             if not self.verify(key):
                 return Response(
@@ -288,31 +295,40 @@ def cors_middleware(
     allow_origins: list[str],
     allow_methods: list[str],
     allow_headers: list[str],
+    allow_credentials: bool = False,
 ):
     wildcard = "*" in allow_origins
 
     def origin_allowed(origin: str) -> bool:
         return wildcard or origin in allow_origins
 
+    def origin_header(origin: str) -> str:
+        # per the CORS spec a credentialed response may NOT use the "*"
+        # wildcard — echo the (allowed) origin instead
+        return origin if (allow_credentials or not wildcard) else "*"
+
     async def mw(request: Request, nxt):
         origin = request.headers.get("origin", "")
         if request.method == "OPTIONS":
             if origin and origin_allowed(origin):
-                return Response(
-                    b"",
-                    status=204,
-                    headers={
-                        "Access-Control-Allow-Origin": "*" if wildcard else origin,
-                        "Access-Control-Allow-Methods": ", ".join(allow_methods),
-                        "Access-Control-Allow-Headers": ", ".join(allow_headers),
-                    },
-                )
+                headers = {
+                    "Access-Control-Allow-Origin": origin_header(origin),
+                    "Access-Control-Allow-Methods": ", ".join(allow_methods),
+                    "Access-Control-Allow-Headers": ", ".join(allow_headers),
+                }
+                if allow_credentials:
+                    headers["Access-Control-Allow-Credentials"] = "true"
+                return Response(b"", status=204, headers=headers)
             return Response(b"", status=204)
         response = await nxt(request)
         if origin and origin_allowed(origin):
             response.headers.setdefault(
-                "Access-Control-Allow-Origin", "*" if wildcard else origin
+                "Access-Control-Allow-Origin", origin_header(origin)
             )
+            if allow_credentials:
+                response.headers.setdefault(
+                    "Access-Control-Allow-Credentials", "true"
+                )
         return response
 
     return mw

@@ -522,3 +522,108 @@ class TestRequestLogKnobs:
         assert settings.service.log_level == "info"
         tc = TestClient(app_module.create_app(settings=settings))
         tc.close()
+
+
+class TestReferenceConfigCompat:
+    """Round-5 parity sweep: reference config fields that existed there
+    but had no consumer here — CORS allow_credentials, plaintext
+    auth.api_keys migration, ANCE warmup/enable gates."""
+
+    def _cors(self, monkeypatch, creds, origins=None):
+        import asyncio
+
+        from sskd_tpu.serve import middleware as mw_mod
+        from sskd_tpu.serve.http import Request, Response
+
+        mw = mw_mod.cors_middleware(
+            origins or ["*"], ["GET", "POST"], ["*"], allow_credentials=creds
+        )
+
+        async def handler(request):
+            return Response({"ok": True})
+
+        loop = asyncio.new_event_loop()
+        try:
+            pre = loop.run_until_complete(
+                mw(Request("OPTIONS", "/search", headers={"origin": "https://a.example"}), handler)
+            )
+            post = loop.run_until_complete(
+                mw(Request("POST", "/search", headers={"origin": "https://a.example"}), handler)
+            )
+        finally:
+            loop.close()
+        return pre, post
+
+    def test_cors_credentials_echoes_origin_not_wildcard(self, monkeypatch):
+        pre, post = self._cors(monkeypatch, creds=True)
+        assert pre.headers["Access-Control-Allow-Credentials"] == "true"
+        # spec: credentialed responses must not use "*"
+        assert pre.headers["Access-Control-Allow-Origin"] == "https://a.example"
+        assert post.headers["Access-Control-Allow-Credentials"] == "true"
+        assert post.headers["Access-Control-Allow-Origin"] == "https://a.example"
+
+    def test_cors_no_credentials_keeps_wildcard(self, monkeypatch):
+        pre, post = self._cors(monkeypatch, creds=False)
+        assert "Access-Control-Allow-Credentials" not in pre.headers
+        assert pre.headers["Access-Control-Allow-Origin"] == "*"
+
+    def test_plaintext_api_keys_hashed_and_audited(self):
+        from sskd_tpu.serve.middleware import APIKeyAuth
+
+        s = Settings.model_validate(
+            {"auth": {"enabled": True, "api_keys": ["sk_live_x"]}}
+        )
+        assert APIKeyAuth.hash_key("sk_live_x") in s.auth.api_key_hashes
+        auth = APIKeyAuth(api_key_hashes=s.auth.api_key_hashes, salt=s.auth.salt)
+        assert auth.verify("sk_live_x") and not auth.verify("wrong")
+        assert any("PLAINTEXT" in p for p in s.validate_for_production())
+
+    def test_plaintext_keys_respect_salt(self):
+        from sskd_tpu.serve.middleware import APIKeyAuth
+
+        s = Settings.model_validate(
+            {"auth": {"enabled": True, "api_keys": ["k"], "salt": "pepper"}}
+        )
+        assert APIKeyAuth.hash_key("k", salt="pepper") in s.auth.api_key_hashes
+        auth = APIKeyAuth(api_key_hashes=s.auth.api_key_hashes, salt="pepper")
+        assert auth.verify("k")
+
+    def test_ance_gates_in_settings(self):
+        s = Settings.model_validate(
+            {"mining": {"ance_enabled": False, "ance_warmup_steps": 100}}
+        )
+        assert s.mining.ance_enabled is False
+        assert s.mining.ance_warmup_steps == 100
+
+
+def test_preflight_passes_auth_to_cors(monkeypatch, fake_student):
+    """OPTIONS preflight is anonymous by spec: with auth + credentialed
+    CORS enabled, the preflight must reach the CORS middleware and answer
+    204 with the CORS headers, while data requests still require a key."""
+    from sskd_tpu.serve.middleware import APIKeyAuth
+
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: None)
+    settings = Settings.model_validate(
+        {
+            "auth": {"enabled": True, "api_keys": ["sk_pre"]},
+            "cors": {"enabled": True, "allow_credentials": True},
+        }
+    )
+    tc = TestClient(app_module.create_app(settings=settings))
+    try:
+        pre = tc.request(
+            "OPTIONS", "/search", headers={"origin": "https://app.example"}
+        )
+        assert pre.status == 204
+        assert pre.headers["Access-Control-Allow-Origin"] == "https://app.example"
+        assert pre.headers["Access-Control-Allow-Credentials"] == "true"
+        assert tc.post("/encode", json_body={"texts": ["x"]}).status == 401
+        ok = tc.post(
+            "/encode",
+            json_body={"texts": ["x"]},
+            headers={"x-api-key": "sk_pre"},
+        )
+        assert ok.status == 200
+    finally:
+        tc.close()

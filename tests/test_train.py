@@ -450,6 +450,32 @@ class TestKDTrainer:
         assert len(calls) == 2
         assert calls[0] is student
 
+    def test_ance_refresh_gated_by_enable_and_warmup(self, student, tmp_path):
+        """mining.ance_enabled / ance_warmup_steps (declared-but-dead in the
+        reference) actually gate the refresh here."""
+        samples = _make_samples(8)
+
+        def run(**mining):
+            calls = []
+            settings = self._settings(epochs=3)
+            settings.mining.ance_refresh_every_n_steps = 2
+            for k, v in mining.items():
+                setattr(settings.mining, k, v)
+            KDTrainer(student, settings).train(
+                samples,
+                output_dir=tmp_path / f"g{len(str(mining))}{id(mining) % 97}",
+                query_len=16,
+                doc_len=16,
+                negative_refresher=lambda s: calls.append(s) or [],
+            )
+            return len(calls)
+
+        assert run(ance_enabled=False) == 0
+        # warmup 5 > the 4 steps elapsed before the last epoch boundary:
+        # only the epoch-3 boundary (step 4 >= ... ) — with 2 steps/epoch,
+        # boundaries see global_step 2 and 4; warmup 3 blocks the first
+        assert run(ance_warmup_steps=3) == 1
+
     def _manual_step(self, trainer, student, rng_seed):
         """Build the train step and run it once with a given dropout seed,
         without donating the student's live buffers."""
