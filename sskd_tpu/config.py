@@ -245,6 +245,8 @@ class MonitoringConfig(BaseModel):
     prometheus_path: str = "/metrics"
     opentelemetry_enabled: bool = False
     opentelemetry_endpoint: str = ""
+    # OTel tracer/service identity (reference: src/config.py:201)
+    service_name: str = "semantic-kd"
     jax_profiler_port: int = Field(default=0, ge=0, le=65535)
     # reference: src/config.py:203-204 — raw query text in request logs is
     # opt-in (the default line carries sha256(query)[:12] only)

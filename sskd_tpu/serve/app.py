@@ -232,7 +232,10 @@ def create_app(
 
     def startup():
         if settings.monitoring.opentelemetry_enabled:
-            TRACER.configure_otel(settings.monitoring.opentelemetry_endpoint)
+            TRACER.configure_otel(
+                settings.monitoring.opentelemetry_endpoint,
+                service_name=settings.monitoring.service_name,
+            )
         start_jax_profiler(settings.monitoring.jax_profiler_port)
         t0 = time.perf_counter()
         try:

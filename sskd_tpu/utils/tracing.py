@@ -58,13 +58,20 @@ class _Tracer:
         self._local = threading.local()
         self._otel_tracer = None
 
-    def configure_otel(self, endpoint: str = "") -> bool:
-        """Attach the OTel SDK if importable; returns success."""
+    def configure_otel(
+        self, endpoint: str = "", service_name: str = "semantic-kd"
+    ) -> bool:
+        """Attach the OTel SDK if importable; returns success.
+        ``service_name`` mirrors monitoring.service_name
+        (reference: src/config.py:201)."""
         try:
             from opentelemetry import trace  # type: ignore
 
-            self._otel_tracer = trace.get_tracer("sskd_tpu")
-            logger.info(f"opentelemetry tracing enabled (endpoint={endpoint or 'default'})")
+            self._otel_tracer = trace.get_tracer(service_name or "semantic-kd")
+            logger.info(
+                f"opentelemetry tracing enabled (service={service_name}, "
+                f"endpoint={endpoint or 'default'})"
+            )
             return True
         except ImportError:
             logger.warning("opentelemetry SDK not installed; in-process spans only")
