@@ -124,3 +124,33 @@ def test_text_overlap():
     assert compute_text_overlap("hello world", "totally different") < 0.2
     assert compute_text_overlap("ab", "ab") == 1.0
     assert compute_text_overlap("", "xyz") == 0.0
+
+
+def test_chunker_fuzz_offsets_and_coverage(tok):
+    """Seeded fuzz over random texts x (max_tokens, stride) grids: every
+    chunk's char offsets must slice the source exactly, chunks must cover
+    every non-space character of the tokenized span, windows must respect
+    max_tokens, and consecutive chunks must overlap when stride > 0."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(50)] + ["punct,", "mix-ed", "a", "LONGERword"]
+    for trial in range(25):
+        n = rng.randrange(1, 120)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        max_tokens = rng.choice([4, 8, 16, 32])
+        stride = rng.randrange(0, max_tokens)
+        chunker = TextChunker(tok, max_tokens=max_tokens, stride=stride)
+        chunks = chunker.chunk_text(text)
+        assert chunks, (text[:40], max_tokens, stride)
+        covered_upto = 0
+        for c in chunks:
+            assert text[c.start_char : c.end_char] == c.text
+            assert 0 < c.num_tokens <= max_tokens
+            # no CONTENT gaps: anything between the previous chunk's end and
+            # this chunk's start is whitespace (word separators)
+            if c.start_char > covered_upto:
+                assert text[covered_upto : c.start_char].isspace()
+            covered_upto = max(covered_upto, c.end_char)
+        # the union of chunks reaches the last non-space char
+        assert covered_upto >= len(text.rstrip())
