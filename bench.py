@@ -190,12 +190,75 @@ def _probe_device(timeout_s: int = 180) -> bool:
     return False
 
 
+def _host_block() -> dict:
+    """Device-independent host-path measurements (C++ tokenizer, BM25,
+    chunker). Runs BEFORE the device probe so even a tunnel-down bench
+    records fresh real numbers instead of a bare 0.0 stub."""
+    out: dict = {}
+    try:
+        import numpy as np
+
+        from sskd_tpu.tokenization import WordPieceTokenizer
+
+        rng = np.random.default_rng(0)
+        words = [f"token{i:04d}" for i in range(2000)]
+        corpus = [
+            " ".join(rng.choice(words, size=160).tolist()) for _ in range(300)
+        ]
+        tok = WordPieceTokenizer.build_from_corpus(corpus[:50], vocab_size=8192)
+        tok.encode_batch(corpus[:8], max_length=512)  # warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            tok.encode_batch(corpus, max_length=512)
+        dt = (time.perf_counter() - t0) / reps
+        out["tokenizer_docs_per_s"] = round(len(corpus) / dt, 1)
+
+        from sskd_tpu.utils.chunk import TextChunker
+
+        chunker = TextChunker(tok, max_tokens=512, stride=80)
+        long_docs = [
+            " ".join(rng.choice(words, size=1200).tolist()) for _ in range(40)
+        ]
+        t0 = time.perf_counter()
+        for d in long_docs:
+            chunker.chunk_text(d)
+        out["chunker_long_docs_per_s"] = round(
+            len(long_docs) / (time.perf_counter() - t0), 1
+        )
+
+        from sskd_tpu.mining.bm25 import BM25Index
+
+        bm = BM25Index()
+        bm.build(
+            [" ".join(rng.choice(words, size=60).tolist()) for _ in range(20_000)],
+            doc_ids=[str(i) for i in range(20_000)],
+        )
+        queries = [" ".join(rng.choice(words, size=5).tolist()) for _ in range(200)]
+        bm.search(queries[0], k=100)  # warm
+        t0 = time.perf_counter()
+        for q in queries:
+            bm.search(q, k=100)
+        out["bm25_20k_queries_per_s"] = round(
+            len(queries) / (time.perf_counter() - t0), 1
+        )
+    except Exception as e:  # noqa: BLE001 — host block must never kill the bench
+        out["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 def main() -> None:
     rows = int(os.environ.get("SSKD_BENCH_ROWS", 1_000_000))
     dim = int(os.environ.get("SSKD_BENCH_DIM", 384))
     batch = int(os.environ.get("SSKD_BENCH_BATCH", 1024))
     k = int(os.environ.get("SSKD_BENCH_K", 10))
     iters = int(os.environ.get("SSKD_BENCH_ITERS", 8))
+
+    host = (
+        _host_block()
+        if os.environ.get("SSKD_BENCH_SKIP_HOST", "0") != "1"
+        else {}
+    )
 
     if os.environ.get("SSKD_BENCH_SKIP_PROBE", "0") != "1" and not _probe_device():
         # value stays 0.0 — no measurement happened this run. But carry
@@ -231,6 +294,9 @@ def main() -> None:
                     "value 0.0 means NOT MEASURED this run, not zero "
                     "throughput",
                     "last_measured": last,
+                    # fresh host-side measurements (device-independent):
+                    # the tunnel being down doesn't zero the whole stack
+                    "host": host,
                 }
             )
         )
@@ -1484,6 +1550,7 @@ def main() -> None:
             "backend": backend,
             "device_kind": device_kind,
             "peak_table": peaks_key,
+            "host": host,
             "rows": rows,
             "dim": dim,
             "batch": batch,
