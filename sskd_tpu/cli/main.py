@@ -237,6 +237,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--production-audit", action="store_true")
     _add_platform_arg(p)
 
+    p = sub.add_parser(
+        "doctor",
+        help="environment diagnostics: backend, devices, native libs, "
+        "caches, index dir health",
+    )
+    p.add_argument("--index", default=None, help="index dir to inspect")
+    _add_platform_arg(p)
+
     return parser
 
 
@@ -602,6 +610,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"production_problems": problems}, indent=2))
             return 0 if not problems else 1
         return 0
+
+    if args.command == "doctor":
+        from sskd_tpu.utils.doctor import run_doctor
+
+        report = run_doctor(index_dir=args.index, settings=settings)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 1
 
     return 2
 

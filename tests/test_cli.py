@@ -174,3 +174,20 @@ def test_compare_command(workspace, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "kd_student" in out and "vanilla" in out
+
+
+def test_doctor_command(capsys, tmp_path):
+    """`semantic-kd doctor` automates the runbook probes: required checks
+    pass in this environment, a bogus index dir fails the run (exit 1)."""
+    import json
+
+    assert main(["doctor"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["ok"] is True
+    for name in ("jax_device", "native_tokenizer", "dependencies"):
+        assert report["checks"][name]["ok"], name
+    assert report["checks"]["jax_device"]["backend"] == "cpu"
+
+    assert main(["doctor", "--index", str(tmp_path / "nope")]) == 1
+    bad = json.loads(capsys.readouterr().out)
+    assert bad["ok"] is False and not bad["checks"]["index"]["ok"]
