@@ -17,6 +17,11 @@ commit_art() {  # commit one stage's artifact so progress is visible
 
 No-Verification-Needed: measurement artifact only" || true
 }
+# 0. Environment snapshot: backend, first-op latency through the tunnel,
+#    native libs — recorded so the measurement run is auditable
+timeout 600 python -m sskd_tpu.cli.main doctor \
+  > artifacts/bench/doctor_r5_recovery.json 2> /tmp/r5_doctor.log || true
+commit_art artifacts/bench/doctor_r5_recovery.json "TPU recovery: doctor snapshot (round 5)"
 # 1. Encode-path variants ladder: XLA vs flash (VERDICT item 2)
 timeout 1800 python scripts/profile_encode_variants.py \
   --out artifacts/bench/encode_variants_r5.json > /tmp/r5_encode.log 2>&1
