@@ -326,8 +326,11 @@ def create_app(
                 if state.index_loaded:
                     state.search_index(warm, k=settings.search.default_k)
                 if settings.service.micro_batch_max_size > 1:
-                    bucket = 16
-                    while bucket <= min(settings.service.micro_batch_max_size, 64):
+                    from sskd_tpu.models.student import _buckets
+
+                    for bucket in _buckets():  # backend-aware ladder
+                        if bucket > min(settings.service.micro_batch_max_size, 64):
+                            break
                         warm_batch = state.student.encode_queries(
                             ["warmup"] * bucket
                         )
@@ -335,7 +338,6 @@ def create_app(
                             state.search_index(
                                 warm_batch, k=settings.search.default_k
                             )
-                        bucket *= 2
         except Exception:
             logger.exception("warmup failed (continuing)")
 
