@@ -550,6 +550,8 @@ def main(argv: list[str] | None = None) -> int:
             # service.log_level (reference: src/config.py:214) — rebuild the
             # sink at the configured threshold
             setup_logging(level=settings.service.log_level, force=True)
+        elif settings.debug:
+            setup_logging(level="debug", force=True)
 
         n_workers = (
             args.workers if args.workers is not None else settings.service.workers

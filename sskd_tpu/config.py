@@ -355,6 +355,10 @@ class DataConfig(BaseModel):
 class Settings(BaseModel):
     """Root settings tree (reference: src/config.py:263-403)."""
 
+    # debug mode (reference: src/config.py:286): verbose logging intent;
+    # flagged by the production audit, and `semantic-kd serve` treats it
+    # as log_level=debug when no explicit level is set
+    debug: bool = False
     student: StudentModelConfig = Field(default_factory=StudentModelConfig)
     teacher: TeacherModelConfig = Field(default_factory=TeacherModelConfig)
     loss: LossConfig = Field(default_factory=LossConfig)
@@ -408,6 +412,8 @@ class Settings(BaseModel):
             problems.append("rate_limit.enabled is False")
         if not self.monitoring.prometheus_enabled:
             problems.append("monitoring.prometheus_enabled is False")
+        if self.debug:
+            problems.append("debug mode is enabled")
         return problems
 
     # -- YAML round trip (reference: src/config.py:320-351) ----------------

@@ -581,6 +581,8 @@ def create_app(
         reranked = False
         if body.rerank:
             m.RERANK_TRIGGERS.inc()
+            # debug-level like the reference (src/serve/app.py:322)
+            logger.debug(f"reranking top {len(results)} results")
             if state.teacher is not None:
                 import asyncio
 

@@ -96,6 +96,9 @@ class RateLimiter:
         for k in stale:
             self._buckets.pop(k, None)
             self._last_seen.pop(k, None)
+        if stale:
+            # debug-level like the reference (src/serve/middleware.py:130)
+            logger.debug(f"cleaned up {len(stale)} stale rate-limit buckets")
 
     def check(self, request: Request) -> tuple[bool, float]:
         """(allowed, retry_after_seconds)."""

@@ -119,3 +119,14 @@ def test_get_settings_honors_config_path(monkeypatch, tmp_path):
         assert get_settings().service.port == 7777
     finally:
         reset_settings_cache()
+
+
+def test_debug_flag_flagged_by_production_audit():
+    from sskd_tpu.config import Settings
+
+    s = Settings.model_validate({"debug": True})
+    assert s.debug is True
+    assert any("debug" in p for p in s.validate_for_production())
+    assert not any(
+        "debug" in p for p in Settings().validate_for_production()
+    )
