@@ -221,6 +221,8 @@ class AuthConfig(BaseModel):
 
     enabled: bool = False
     api_key_hashes: list[str] = Field(default_factory=list)
+    # credential header name (reference: src/config.py:183)
+    api_key_header: str = "X-API-Key"
     # drop-in migration path for the reference's PLAINTEXT auth.api_keys
     # (reference: src/config.py:181): accepted, hashed immediately below,
     # and flagged by the production audit — hashes-only is the native mode

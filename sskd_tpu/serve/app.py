@@ -223,7 +223,9 @@ def create_app(
         app.add_middleware(limiter.middleware())
     if settings.auth.enabled:
         auth = APIKeyAuth(
-            api_key_hashes=settings.auth.api_key_hashes, salt=settings.auth.salt
+            api_key_hashes=settings.auth.api_key_hashes,
+            salt=settings.auth.salt,
+            header=settings.auth.api_key_header,
         )
         app.state.auth = auth
         app.add_middleware(auth.middleware())

@@ -156,8 +156,11 @@ class APIKeyAuth:
         api_keys: Iterable[str] = (),
         api_key_hashes: Iterable[str] = (),
         salt: str = "",
+        header: str = "X-API-Key",
     ):
         self.salt = salt
+        # configurable credential header (reference: src/config.py:183)
+        self.header = header.lower()
         self._hashes: set[str] = set(api_key_hashes)
         env_hashes = os.environ.get("SEMANTIC_KD_API_KEY_HASHES", "")
         if env_hashes:
@@ -201,7 +204,7 @@ class APIKeyAuth:
                 # cross-origin client; the preflight response carries no
                 # data (without CORS it's a bare 405)
                 return await nxt(request)
-            key = request.headers.get("x-api-key")
+            key = request.headers.get(self.header)
             if not self.verify(key):
                 return Response(
                     {"error": "invalid or missing API key"},

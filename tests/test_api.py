@@ -627,3 +627,37 @@ def test_preflight_passes_auth_to_cors(monkeypatch, fake_student):
         assert ok.status == 200
     finally:
         tc.close()
+
+
+def test_custom_api_key_header(monkeypatch, fake_student):
+    """auth.api_key_header (reference config field) renames the credential
+    header; the default X-API-Key stops working when overridden."""
+    from sskd_tpu.serve.middleware import APIKeyAuth
+
+    monkeypatch.setattr(app_module, "StudentModel", lambda *a, **k: fake_student)
+    monkeypatch.setattr(app_module, "TeacherModel", lambda *a, **k: None)
+    settings = Settings.model_validate(
+        {
+            "auth": {
+                "enabled": True,
+                "api_keys": ["sk_hdr"],
+                "api_key_header": "X-Custom-Key",
+            }
+        }
+    )
+    tc = TestClient(app_module.create_app(settings=settings))
+    try:
+        ok = tc.post(
+            "/encode",
+            json_body={"texts": ["x"]},
+            headers={"x-custom-key": "sk_hdr"},
+        )
+        assert ok.status == 200
+        wrong_header = tc.post(
+            "/encode",
+            json_body={"texts": ["x"]},
+            headers={"x-api-key": "sk_hdr"},
+        )
+        assert wrong_header.status == 401
+    finally:
+        tc.close()
