@@ -584,7 +584,7 @@ def main(argv: list[str] | None = None) -> int:
             device=args.device,
             preload_index_dir=args.index,
         )
-        Server(
+        server = Server(
             app,
             host=args.host or settings.service.host,
             port=args.port or settings.service.port,
@@ -592,7 +592,51 @@ def main(argv: list[str] | None = None) -> int:
             idle_timeout=settings.service.idle_timeout_s,
             max_connections=settings.service.max_connections,
             reuse_port=is_worker(),
-        ).run()
+        )
+        metrics_port = settings.monitoring.prometheus_port
+        if metrics_port and settings.monitoring.prometheus_enabled:
+            # separate internal metrics listener (the reference declared
+            # prometheus_port but never served it): both servers share one
+            # loop; a single drain handler stops both on SIGTERM/SIGINT
+            import asyncio
+            import signal
+
+            from sskd_tpu.serve import metrics as m
+            from sskd_tpu.serve.http import App as _App
+            from sskd_tpu.serve.http import Response as _Response
+
+            mapp = _App()
+
+            @mapp.get(settings.monitoring.prometheus_path)
+            async def _metrics(request):
+                return _Response(
+                    m.render(),
+                    media_type="text/plain; version=0.0.4; charset=utf-8",
+                )
+
+            mserver = Server(
+                mapp, host="0.0.0.0", port=metrics_port, handle_signals=False
+            )
+            server.handle_signals = False
+
+            async def _run_both():
+                loop = asyncio.get_running_loop()
+
+                def _drain():
+                    for s in (server, mserver):
+                        if not s._closing:
+                            asyncio.ensure_future(s.shutdown())
+
+                for sig in (signal.SIGTERM, signal.SIGINT):
+                    try:
+                        loop.add_signal_handler(sig, _drain)
+                    except (NotImplementedError, RuntimeError):
+                        pass
+                await asyncio.gather(server.serve(), mserver.serve())
+
+            asyncio.run(_run_both())
+            return 0
+        server.run()
         return 0
 
     if args.command == "export":

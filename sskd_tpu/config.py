@@ -245,6 +245,12 @@ class MonitoringConfig(BaseModel):
 
     prometheus_enabled: bool = True
     prometheus_path: str = "/metrics"
+    # optional SEPARATE metrics listener (reference declared
+    # prometheus_port but never served it): 0 = metrics ride the app port
+    # at prometheus_path (default); >0 additionally binds an internal
+    # port serving ONLY the catalog — for deployments whose API port is
+    # public but whose scrape network is private
+    prometheus_port: int = Field(default=0, ge=0, le=65535)
     opentelemetry_enabled: bool = False
     opentelemetry_endpoint: str = ""
     # OTel tracer/service identity (reference: src/config.py:201)

@@ -274,6 +274,7 @@ class Server:
         idle_timeout: float = 75.0,
         max_connections: int = 1024,
         reuse_port: bool = False,
+        handle_signals: bool = True,
     ):
         self.app = app
         self.host = host
@@ -285,6 +286,9 @@ class Server:
         # kernel load-balances accepts across them (service.workers > 1,
         # CPU serving — the uvicorn --workers analog)
         self.reuse_port = reuse_port
+        # False when a caller coordinates several servers on one loop and
+        # installs its own drain handler (e.g. app + metrics listener)
+        self.handle_signals = handle_signals
         self._server: asyncio.AbstractServer | None = None
         self._active = 0
         self._closing = False
@@ -438,7 +442,8 @@ class Server:
             self._handle_conn, self.host, self.port,
             reuse_port=self.reuse_port or None,
         )
-        self._install_signal_handlers(asyncio.get_running_loop())
+        if self.handle_signals:
+            self._install_signal_handlers(asyncio.get_running_loop())
         logger.info(f"serving on http://{self.host}:{self.port}")
         async with self._server:
             try:

@@ -130,3 +130,11 @@ def test_debug_flag_flagged_by_production_audit():
     assert not any(
         "debug" in p for p in Settings().validate_for_production()
     )
+
+
+def test_prometheus_port_field():
+    from sskd_tpu.config import Settings
+
+    s = Settings.model_validate({"monitoring": {"prometheus_port": 9108}})
+    assert s.monitoring.prometheus_port == 9108
+    assert Settings().monitoring.prometheus_port == 0  # same-port default
