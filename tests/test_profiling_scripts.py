@@ -111,3 +111,23 @@ def test_train_step_remat_smoke(tmp_path):
     for policy in ("full", "dots", "none"):
         row = out[policy]
         assert "error" in row or row["ms_per_step"] >= 0.0
+
+
+def test_bench_serving_clustered_arm_smoke(tmp_path):
+    """--index-type clustered drives the cell-probe engine through the
+    real service (the CPU-host B=1 recommendation, adr-009 addendum) on
+    clusterable synthetic data, and the artifact records the served
+    engine's recall so a fast-but-lossy config can't pass silently."""
+    out = _run(
+        "bench_serving.py",
+        "--rows", "512", "--requests", "6", "--levels", "1,2",
+        "--arch", "tiny", "--platform", "cpu",
+        "--index-type", "clustered", "--cluster-rows", "128", "--nprobe", "2",
+        "--data-centers", "8", "--data-noise", "0.02",
+        "--out", str(tmp_path / "serve_cl.json"),
+    )
+    assert out["detail"]["index_type"] == "clustered"
+    assert out["detail"]["nprobe"] == 2
+    assert out["detail"]["data_centers"] == 8
+    assert 0.0 <= out["detail"]["engine_recall_at_10"] <= 1.0
+    assert out["detail"]["all_correct"] is True
