@@ -98,7 +98,9 @@ class Response:
     def status_code(self) -> int:  # requests/httpx-style alias for tests
         return self.status
 
-    def encode(self) -> bytes:
+    def encode(self, head_only: bool = False) -> bytes:
+        """``head_only``: HEAD semantics — same status line and headers
+        (including content-length of the would-be body), no body bytes."""
         phrase = STATUS_PHRASES.get(self.status, "Unknown")
         headers = {
             "content-type": self.media_type,
@@ -108,7 +110,7 @@ class Response:
         head = f"HTTP/1.1 {self.status} {phrase}\r\n" + "".join(
             f"{k}: {v}\r\n" for k, v in headers.items()
         )
-        return head.encode() + b"\r\n" + self.body
+        return head.encode() + b"\r\n" + (b"" if head_only else self.body)
 
 
 class PayloadTooLarge(ValueError):
@@ -173,6 +175,11 @@ class App:
 
     async def _dispatch(self, request: Request) -> Response:
         handler = self._routes.get((request.method, request.path))
+        if handler is None and request.method == "HEAD":
+            # HEAD is served by the GET handler (Starlette/FastAPI did this
+            # for the reference automatically — load balancers probe with
+            # HEAD); the server strips the body on the wire, keeping headers
+            handler = self._routes.get(("GET", request.path))
         if handler is None:
             if any(p == request.path for (_, p) in self._routes):
                 return Response({"error": "method not allowed"}, status=405)
@@ -385,7 +392,7 @@ class Server:
                 response.headers.setdefault(
                     "connection", "keep-alive" if keep_alive else "close"
                 )
-                writer.write(response.encode())
+                writer.write(response.encode(head_only=request.method == "HEAD"))
                 await writer.drain()
                 if not keep_alive:
                     break

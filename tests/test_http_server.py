@@ -335,3 +335,35 @@ def test_sigterm_graceful_drain():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_head_served_by_get_handler(server_port):
+    """HEAD reuses the GET handler (Starlette gave the reference this for
+    free; LBs probe with HEAD): same status + content-length, empty body,
+    and the connection stays usable afterwards."""
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=5)
+    conn.request("GET", "/ping")
+    get_resp = conn.getresponse()
+    get_len = get_resp.getheader("content-length")
+    get_body = get_resp.read()
+    conn.request("HEAD", "/ping")
+    head_resp = conn.getresponse()
+    assert head_resp.status == 200
+    assert head_resp.getheader("content-length") == get_len
+    assert head_resp.read() == b"" and get_body  # headers only
+    # keep-alive still sane after the body-less exchange
+    conn.request("GET", "/ping")
+    assert conn.getresponse().status == 200
+    conn.close()
+    # HEAD on a POST-only path is still 405; unknown path 404 (each
+    # response must be drained before reusing the connection)
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=5)
+    conn.request("HEAD", "/echo")
+    r = conn.getresponse()
+    assert r.status == 405
+    r.read()
+    conn.request("HEAD", "/nope")
+    r = conn.getresponse()
+    assert r.status == 404
+    r.read()
+    conn.close()
