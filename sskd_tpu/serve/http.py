@@ -174,6 +174,13 @@ class App:
     # ------------------------------------------------------------------
 
     async def _dispatch(self, request: Request) -> Response:
+        # trailing-slash tolerance (Starlette redirect_slashes served the
+        # reference's /search/ via 307; answering directly skips the
+        # round-trip)
+        if (request.method, request.path) not in self._routes and (
+            request.path.endswith("/") and len(request.path) > 1
+        ):
+            request.path = request.path.rstrip("/")
         handler = self._routes.get((request.method, request.path))
         if handler is None and request.method == "HEAD":
             # HEAD is served by the GET handler (Starlette/FastAPI did this

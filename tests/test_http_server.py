@@ -367,3 +367,16 @@ def test_head_served_by_get_handler(server_port):
     assert r.status == 404
     r.read()
     conn.close()
+
+
+def test_trailing_slash_tolerated(server_port):
+    """/ping/ serves the /ping handler (Starlette's redirect_slashes gave
+    the reference this via 307; answering directly skips the round-trip)."""
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=5)
+    conn.request("GET", "/ping/")
+    r = conn.getresponse()
+    assert r.status == 200
+    import json
+
+    assert json.loads(r.read())["pong"] is True
+    conn.close()
