@@ -27,6 +27,21 @@ logger = get_logger("serve.http")
 MAX_BODY_BYTES = 10 * 1024 * 1024
 MAX_HEADER_BYTES = 64 * 1024
 
+_DATE_CACHE: tuple[int, str] = (0, "")
+
+
+def _http_date() -> str:
+    """RFC 7231 Date header, formatted at most once per second — strftime
+    per response would be measurable on the serving hot path."""
+    global _DATE_CACHE
+    now = int(time.time())
+    if _DATE_CACHE[0] != now:
+        _DATE_CACHE = (
+            now,
+            time.strftime("%a, %d %b %Y %H:%M:%S GMT", time.gmtime(now)),
+        )
+    return _DATE_CACHE[1]
+
 STATUS_PHRASES = {
     200: "OK",
     204: "No Content",
@@ -103,6 +118,7 @@ class Response:
         (including content-length of the would-be body), no body bytes."""
         phrase = STATUS_PHRASES.get(self.status, "Unknown")
         headers = {
+            "date": _http_date(),
             "content-type": self.media_type,
             "content-length": str(len(self.body)),
             **{k.lower(): v for k, v in self.headers.items()},
@@ -188,8 +204,15 @@ class App:
             # HEAD); the server strips the body on the wire, keeping headers
             handler = self._routes.get(("GET", request.path))
         if handler is None:
-            if any(p == request.path for (_, p) in self._routes):
-                return Response({"error": "method not allowed"}, status=405)
+            allowed = sorted(
+                {m for (m, p) in self._routes if p == request.path}
+            )
+            if allowed:
+                return Response(
+                    {"error": "method not allowed"},
+                    status=405,
+                    headers={"allow": ", ".join(allowed)},
+                )
             return Response({"error": "not found"}, status=404)
         return await handler(request)
 

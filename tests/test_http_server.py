@@ -380,3 +380,20 @@ def test_trailing_slash_tolerated(server_port):
 
     assert json.loads(r.read())["pong"] is True
     conn.close()
+
+
+def test_405_allow_header_and_date(server_port):
+    """405 lists the allowed methods (Starlette behavior) and every wire
+    response carries an RFC 7231 Date header."""
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=5)
+    conn.request("GET", "/echo")  # POST-only route
+    r = conn.getresponse()
+    assert r.status == 405
+    assert r.getheader("allow") == "POST"
+    assert "GMT" in (r.getheader("date") or "")
+    r.read()
+    conn.request("GET", "/ping")
+    r = conn.getresponse()
+    assert "GMT" in (r.getheader("date") or "")
+    r.read()
+    conn.close()
