@@ -90,21 +90,42 @@ def _flash_kernel(
     ).astype(o_ref.dtype)
 
 
+def _flash_vmem_estimate(
+    G: int, L: int, d: int, block_q: int, block_k: int, itemsize: int
+) -> int:
+    """Analytic per-program VMEM demand. Calibrated round 5 against the real
+    v5e Mosaic compiler (artifacts/bench/flash_tune_r5.json): when block_k < L
+    the online-softmax fori_loop carries extra temporaries that roughly double
+    the score-buffer cost (G6/bq512/bk256 failed at an uncorrected estimate of
+    4.5 MB while the loop-free G6/bq512/bk512 passed at 7.7 MB), so the s term
+    gets a 2x multiplier on the loop path."""
+    s_mult = 4 if block_k < L else 2  # f32 bytes x loop-temp factor
+    return (
+        2 * G * L * d * itemsize  # k + v
+        + G * block_q * d * itemsize  # q
+        + 2 * s_mult * G * block_q * block_k  # s/p (f32) + loop temps
+        + 4 * G * block_q * d  # acc (f32)
+    )
+
+
+# Budget calibrated on-device (round 5): G12/bq128/bk512 at e5 shape
+# (estimate 5.0 MB) compiles and is the measured-fastest config; the next
+# step up (G12/bq256/bk512, estimate 8.5 MB) exceeds the 16 MB scoped
+# limit once Mosaic's double buffering and stack are added.
+_FLASH_VMEM_BUDGET = int(5.5 * 1024 * 1024)
+
+
 def _pick_head_group(
     h: int, L: int, d: int, block_q: int, block_k: int, itemsize: int
 ) -> int:
-    """Largest divisor of h whose per-program blocks stay within a ~5 MB
-    VMEM budget (of ~16 MB/core, leaving room for double buffering)."""
+    """Largest divisor of h within the device-calibrated VMEM budget."""
     for cand in range(h, 0, -1):
         if h % cand:
             continue
-        vmem = (
-            2 * cand * L * d * itemsize  # k + v
-            + cand * block_q * d * itemsize  # q
-            + 4 * cand * block_q * block_k  # s (f32)
-            + 4 * cand * block_q * d  # acc (f32)
-        )
-        if vmem <= 5 * 1024 * 1024:
+        if (
+            _flash_vmem_estimate(cand, L, d, block_q, block_k, itemsize)
+            <= _FLASH_VMEM_BUDGET
+        ):
             return cand
     return 1
 
@@ -114,8 +135,8 @@ def flash_attention(
     k,
     v,
     mask=None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int | None = None,
+    block_k: int | None = None,
     head_group: int | None = None,
     interpret: bool | None = None,
 ):
@@ -124,8 +145,19 @@ def flash_attention(
     q,k,v: [B, h, L, d]; mask: [B, L] with 1 = attend (pad positions 0).
     Returns [B, h, L, d]. ``head_group`` packs that many heads into one
     program (default: auto — as many as fit VMEM).
+
+    Default blocks come from the round-5 on-device sweep
+    (artifacts/bench/flash_tune_r5.json, B=256/h=12/L=512/d=32 on v5e):
+    small q blocks (128) with a SINGLE k block (block_k = L, loop-free
+    online softmax) dominate every looped config — measured 5.65 ms vs
+    10.48 ms XLA — and the loop-free path is also the one whose VMEM
+    demand Mosaic prices predictably (see ``_flash_vmem_estimate``).
     """
     B, h, L, d = q.shape
+    if block_q is None:
+        block_q = 128 if L % 128 == 0 else L
+    if block_k is None:
+        block_k = L if L <= 512 else 512
     if mask is None:
         mask = jnp.ones((B, L), dtype=jnp.int32)
     if interpret is None:
