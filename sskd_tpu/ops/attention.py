@@ -510,16 +510,16 @@ _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 def flash_auto_decision(B: int, h: int, L: int) -> bool:
     """Auto-dispatch rule: flash when the XLA path would materialize a
-    large [B, h, L, L] score tensor in HBM. Defaults — L >= 384 and
-    B*h*L*L f32 > 256 MB (at B=256/L=512 the e5 encode path writes+reads
-    ~3.2 GB of scores PER LAYER, which is what pinned the L=512 encode at
-    ~20% MFU — VERDICT r3 weak #2) — were chosen analytically; the
-    measured crossover ladder (scripts/profile_encode_variants.py)
-    recalibrates them at runtime via SSKD_FLASH_AUTO_MIN_L /
+    large [B, h, L, L] score tensor in HBM. Defaults measured round 5 on
+    v5e (artifacts/bench/encode_variants_r5.json, B=256 e5 shape): flash
+    wins at L=512 (149.5 vs 194.1 ms/batch, 1,713 vs 1,319 docs/s) and
+    LOSES at L=128 (30.8 vs 24.1 ms) — the crossover sits between, so
+    min_l defaults to the measured-safe 512 rather than the old analytic
+    384. Recalibrate at runtime via SSKD_FLASH_AUTO_MIN_L /
     SSKD_FLASH_AUTO_SCORE_MB without a code change. L % 128 == 0 is a
     kernel lane-tiling requirement, not tunable.
     """
-    min_l = int(os.environ.get("SSKD_FLASH_AUTO_MIN_L", "384"))
+    min_l = int(os.environ.get("SSKD_FLASH_AUTO_MIN_L", "512"))
     score_mb = float(os.environ.get("SSKD_FLASH_AUTO_SCORE_MB", "256"))
     score_bytes = 4.0 * B * h * L * L
     return L >= min_l and L % 128 == 0 and score_bytes > score_mb * 1e6
